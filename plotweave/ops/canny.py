@@ -1,0 +1,100 @@
+"""Canny edge detection, bit-compatible with OpenCV's L1 path.
+
+Pipeline: 3×3 Sobel (replicate border) → L1 magnitude → fixed-point sector
+non-maximum suppression (the Q15 tan(22.5°)=13573 trick, with OpenCV's exact
+strict/non-strict comparison pattern per sector) → double threshold →
+hysteresis as a dilate-AND fixpoint loop (equivalent to BFS reachability
+from strong pixels through weak ones, but expressible as a TPU stencil).
+
+Reference use: 03_edge_detect.py:34 (cv2.Canny on the blurred mask).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_TG22 = 13573  # tan(22.5°) in Q15
+_SHIFT = 15
+
+
+def _nbr(x: jax.Array, dy: int, dx: int, fill=0) -> jax.Array:
+    """Neighbor lookup: out[i, j] = x[i+dy, j+dx], out-of-bounds reads ``fill``."""
+    h, w = x.shape
+    p = jnp.pad(x, ((1, 1), (1, 1)), constant_values=fill)
+    return jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
+
+
+def _sobel_pair(img: jax.Array):
+    """3×3 Sobel dx, dy with replicate border, int32."""
+    x = img.astype(jnp.int32)
+    p = jnp.pad(x, 1, mode="edge")
+    h, w = img.shape
+
+    def at(dy, dx):
+        return jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
+
+    # smooth along one axis [1,2,1], derivative along the other [-1,0,1]
+    gx = (at(-1, 1) + 2 * at(0, 1) + at(1, 1)) - (at(-1, -1) + 2 * at(0, -1) + at(1, -1))
+    gy = (at(1, -1) + 2 * at(1, 0) + at(1, 1)) - (at(-1, -1) + 2 * at(-1, 0) + at(-1, 1))
+    return gx, gy
+
+
+@partial(jax.jit, static_argnames=("low", "high"))
+def canny(img: jax.Array, low: int, high: int) -> jax.Array:
+    """Binary edge map (uint8 0/255) of a (H, W) uint8 image."""
+    if low > high:
+        low, high = high, low
+    gx, gy = _sobel_pair(img)
+    mag = jnp.abs(gx) + jnp.abs(gy)
+
+    # ---- sector NMS (magnitude neighbors beyond the border read as 0) ----
+    m_l = _nbr(mag, 0, -1)
+    m_r = _nbr(mag, 0, 1)
+    m_u = _nbr(mag, -1, 0)
+    m_d = _nbr(mag, 1, 0)
+    m_ul = _nbr(mag, -1, -1)
+    m_ur = _nbr(mag, -1, 1)
+    m_dl = _nbr(mag, 1, -1)
+    m_dr = _nbr(mag, 1, 1)
+
+    ax = jnp.abs(gx)
+    ay = jnp.abs(gy) << _SHIFT
+    tg22x = ax * _TG22
+    tg67x = tg22x + (ax << (_SHIFT + 1))
+
+    horiz = ay < tg22x
+    vert = ay > tg67x
+    sign_neg = (gx ^ gy) < 0  # gradient along the anti-diagonal
+
+    keep_h = (mag > m_l) & (mag >= m_r)
+    keep_v = (mag > m_u) & (mag >= m_d)
+    # s=-1: compare (up, j+1) and (down, j-1); s=+1: (up, j-1) and (down, j+1)
+    keep_d = jnp.where(
+        sign_neg,
+        (mag > m_ur) & (mag > m_dl),
+        (mag > m_ul) & (mag > m_dr),
+    )
+    keep = jnp.where(horiz, keep_h, jnp.where(vert, keep_v, keep_d))
+
+    cand = (mag > low) & keep
+    strong = cand & (mag > high)
+
+    # ---- hysteresis: grow strong through candidates to fixpoint ----
+    def grow(state):
+        edges, _ = state
+        nbr = edges
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    nbr = nbr | _nbr(edges, dy, dx, fill=False)
+        new = cand & nbr
+        return new, jnp.any(new != edges)
+
+    def cond(state):
+        return state[1]
+
+    edges, _ = jax.lax.while_loop(cond, lambda s: grow(s), (strong, jnp.array(True)))
+    return jnp.where(edges, jnp.uint8(255), jnp.uint8(0))

@@ -1,0 +1,58 @@
+"""Separable fixed-point Gaussian blur for uint8 images.
+
+OpenCV's bit-exact uint8 Gaussian path quantizes the kernel to Q8 fixed
+point and rounds once after both passes; for sigma=0 and ksize ∈ {3,5,7} the
+canonical small-kernel taps are exactly representable in Q8, so an integer
+separable convolution with a single ``(acc + 2^15) >> 16`` rounding is
+bit-identical (validated in tests).  Reference use: 03_edge_detect.py:32-33.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# canonical sigma=0 small kernels (Q8 numerators over 256)
+_SMALL_TAB = {
+    1: [256],
+    3: [64, 128, 64],
+    5: [16, 64, 96, 64, 16],
+    7: [8, 28, 56, 72, 56, 28, 8],
+}
+
+
+def gaussian_kernel_q8(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """Q8 integer Gaussian taps (sum 256)."""
+    if sigma <= 0 and ksize in _SMALL_TAB:
+        return np.asarray(_SMALL_TAB[ksize], dtype=np.int32)
+    s = sigma if sigma > 0 else 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
+    k = np.exp(-(x * x) / (2.0 * s * s))
+    k /= k.sum()
+    q = np.rint(k * 256.0).astype(np.int32)
+    # keep the sum at 256 by adjusting the center tap
+    q[ksize // 2] += 256 - q.sum()
+    return q
+
+
+@partial(jax.jit, static_argnames=("ksize", "sigma"))
+def gaussian_blur_u8(img: jax.Array, ksize: int, sigma: float = 0.0) -> jax.Array:
+    """Blur a (H, W) uint8 image; reflect-101 border; bit-exact for ksize ≤ 7."""
+    kq = jnp.asarray(gaussian_kernel_q8(ksize, sigma))
+    r = ksize // 2
+    x = img.astype(jnp.int32)
+    if r == 0:
+        return img
+    p = jnp.pad(x, ((0, 0), (r, r)), mode="reflect")
+    h, w = img.shape
+    tmp = jnp.zeros_like(x)
+    for i in range(ksize):  # static unroll; XLA fuses into one pass
+        tmp = tmp + kq[i] * jax.lax.dynamic_slice_in_dim(p, i, w, axis=1)
+    p = jnp.pad(tmp, ((r, r), (0, 0)), mode="reflect")
+    acc = jnp.zeros_like(x)
+    for i in range(ksize):
+        acc = acc + kq[i] * jax.lax.dynamic_slice_in_dim(p, i, h, axis=0)
+    return jnp.clip((acc + (1 << 15)) >> 16, 0, 255).astype(jnp.uint8)

@@ -1,0 +1,109 @@
+"""Deterministic k-means for color-layer extraction (TPU-friendly Lloyd).
+
+Matches the reference's clustering *procedure* (02_color_extract.py:32-56):
+seeded uniform subsample (same numpy Generator stream, so the sample set is
+identical), k-means++ init, Lloyd iterations with an epsilon stop, several
+attempts keeping the best compactness, then an all-pixel nearest-center
+assignment.  Center trajectories differ from cv2.kmeans (whose RNG is
+opaque), so masks are equivalence-tested by IoU, not bytes.
+
+The hot parts — distance matrices for assignment — are phrased as
+``|x|² − 2·x·cᵀ + |c|²`` matmuls for the MXU and jitted end-to-end.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _lloyd(data: jax.Array, init_centers: jax.Array, iters: int, eps: float = 0.5):
+    """Lloyd iterations with per-center movement epsilon stop."""
+    n, d = data.shape
+    k = init_centers.shape[0]
+    sq = jnp.sum(data * data, axis=1, keepdims=True)
+
+    def assign(centers):
+        d2 = sq - 2.0 * data @ centers.T + jnp.sum(centers * centers, axis=1)
+        return jnp.argmin(d2, axis=1), d2
+
+    def body(state):
+        centers, _, it, _ = state
+        labels, d2 = assign(centers)
+        one_hot = jax.nn.one_hot(labels, k, dtype=data.dtype)
+        counts = one_hot.sum(axis=0)
+        sums = one_hot.T @ data
+        new_centers = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), centers)
+        shift = jnp.max(jnp.sqrt(jnp.sum((new_centers - centers) ** 2, axis=1)))
+        return new_centers, shift, it + 1, jnp.min(d2, axis=1).sum()
+
+    def cond(state):
+        _, shift, it, _ = state
+        return (shift > eps) & (it < iters)
+
+    centers, _, _, _ = jax.lax.while_loop(
+        cond, body, (init_centers, jnp.asarray(jnp.inf, data.dtype), jnp.int32(0), jnp.asarray(0.0, data.dtype))
+    )
+    labels, d2 = assign(centers)
+    compactness = jnp.sum(jnp.min(d2, axis=1))
+    return centers, compactness
+
+
+def _kpp_init(data: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """k-means++ seeding on the host (tiny: k passes over the sample)."""
+    n = data.shape[0]
+    centers = np.empty((k, data.shape[1]), dtype=data.dtype)
+    centers[0] = data[rng.integers(n)]
+    d2 = np.sum((data - centers[0]) ** 2, axis=1)
+    for i in range(1, k):
+        probs = d2 / max(d2.sum(), 1e-12)
+        centers[i] = data[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, np.sum((data - centers[i]) ** 2, axis=1))
+    return centers
+
+
+def kmeans(
+    data: np.ndarray,
+    k: int,
+    sample_limit: int = 200_000,
+    attempts: int = 3,
+    iters: int = 40,
+    seed: int = 42,
+):
+    """Cluster (N, D) float32 data; returns (centers [k,D], labels [N]).
+
+    The subsample index stream replicates the reference's
+    ``np.random.default_rng(42).choice`` (02:41) so the fitted sample is
+    identical; attempts use derived seeds for the ++ init.
+    """
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    n = data.shape[0]
+    if n > sample_limit:
+        idx = np.random.default_rng(seed).choice(n, size=sample_limit, replace=False)
+        sample = data[idx]
+    else:
+        sample = data
+
+    sample_j = jnp.asarray(sample)
+    best = None
+    for a in range(attempts):
+        rng = np.random.default_rng(seed + 1000 * a)
+        init = jnp.asarray(_kpp_init(sample, k, rng))
+        centers, compactness = _lloyd(sample_j, init, iters)
+        c = float(compactness)
+        if best is None or c < best[1]:
+            best = (centers, c)
+
+    centers = best[0]
+    full = jnp.asarray(data)
+    d2 = (
+        jnp.sum(full * full, axis=1, keepdims=True)
+        - 2.0 * full @ centers.T
+        + jnp.sum(centers * centers, axis=1)
+    )
+    labels = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    return np.asarray(centers), np.asarray(labels)

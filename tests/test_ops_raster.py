@@ -1,0 +1,149 @@
+"""Raster-op exactness tests: resize, blur, morphology, Canny vs OpenCV
+(live oracle — cv2 is a baked-in dependency), thinning vs committed
+reference goldens, Lab/k-means tolerance tests."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from plotweave.ops import (
+    area_resize,
+    canny,
+    gaussian_blur_u8,
+    morph_close,
+    morph_open,
+    structuring_element,
+    zhang_suen,
+)
+
+GOLDEN = Path(__file__).parent / "golden"
+rng = np.random.default_rng(42)
+
+
+# ------------------------------------------------------------------- resize
+
+
+def test_area_resize_integer_ratio_bit_exact():
+    for h, w, s in [(100, 100, 2), (120, 90, 3), (64, 64, 4)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        ref = cv2.resize(img, (w // s, h // s), interpolation=cv2.INTER_AREA)
+        got = np.asarray(area_resize(img, w // s, h // s))
+        assert (got == ref).all()
+
+
+def test_area_resize_fractional_near_exact():
+    for h, w, nh, nw in [(333, 517, 166, 258), (97, 311, 31, 99), (640, 480, 512, 384)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        ref = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_AREA)
+        got = np.asarray(area_resize(img, nw, nh))
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        assert diff.max() <= 1
+        assert (diff != 0).mean() < 1e-4  # rare rounding ties only
+
+
+def test_area_resize_grayscale():
+    img = rng.integers(0, 256, (80, 120)).astype(np.uint8)
+    ref = cv2.resize(img, (60, 40), interpolation=cv2.INTER_AREA)
+    assert (np.asarray(area_resize(img, 60, 40)) == ref).all()
+
+
+# --------------------------------------------------------------------- blur
+
+
+@pytest.mark.parametrize("ksize", [3, 5, 7])
+def test_gaussian_blur_bit_exact(ksize):
+    img = rng.integers(0, 256, (77, 91)).astype(np.uint8)
+    ref = cv2.GaussianBlur(img, (ksize, ksize), 0)
+    assert (np.asarray(gaussian_blur_u8(img, ksize)) == ref).all()
+
+
+# --------------------------------------------------------------- morphology
+
+
+def test_structuring_elements_match_opencv():
+    for k in (3, 5, 7, 9, 11):
+        assert (
+            structuring_element("ellipse", k)
+            == cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (k, k)).astype(bool)
+        ).all()
+        assert (
+            structuring_element("rect", k)
+            == cv2.getStructuringElement(cv2.MORPH_RECT, (k, k)).astype(bool)
+        ).all()
+
+
+@pytest.mark.parametrize("shape,cvshape,k", [("rect", cv2.MORPH_RECT, 3), ("ellipse", cv2.MORPH_ELLIPSE, 3), ("ellipse", cv2.MORPH_ELLIPSE, 5)])
+def test_morphology_open_close_bit_exact(shape, cvshape, k):
+    m = (rng.random((100, 120)) > 0.6).astype(np.uint8) * 255
+    se = cv2.getStructuringElement(cvshape, (k, k))
+    for iters in (1, 2):
+        assert (
+            np.asarray(morph_open(m, shape, k, iters))
+            == cv2.morphologyEx(m, cv2.MORPH_OPEN, se, iterations=iters)
+        ).all()
+        assert (
+            np.asarray(morph_close(m, shape, k, iters))
+            == cv2.morphologyEx(m, cv2.MORPH_CLOSE, se, iterations=iters)
+        ).all()
+
+
+# -------------------------------------------------------------------- canny
+
+
+def test_canny_bit_exact_masks_and_random():
+    for t in range(6):
+        h, w = int(rng.integers(16, 160)), int(rng.integers(16, 160))
+        if t % 3 == 0:
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        else:
+            m = (rng.random((h, w)) > 0.55).astype(np.uint8) * 255
+            img = cv2.GaussianBlur(m, (7, 7), 0)
+        for lo, hi in [(22, 70), (50, 150)]:
+            assert (np.asarray(canny(img, lo, hi)) == cv2.Canny(img, lo, hi)).all()
+
+
+# ----------------------------------------------------------------- thinning
+
+
+def test_thinning_matches_reference_goldens():
+    z = np.load(GOLDEN / "thinning_cases.npz")
+    n = len([k for k in z.files if k.startswith("edges_")])
+    assert n >= 4
+    for t in range(n):
+        edges = z[f"edges_{t}"]
+        got04 = np.asarray(zhang_suen(edges, rotated=True)).astype(np.uint8)
+        assert (got04 == z[f"skel04_{t}"]).all(), f"stage04 variant, case {t}"
+        got08 = np.asarray(zhang_suen(edges, max_iter=48, rotated=False)).astype(np.uint8)
+        assert (got08 == z[f"skel08_{t}"]).all(), f"stage08 variant, case {t}"
+
+
+# ------------------------------------------------------------ lab & k-means
+
+
+def test_lab_close_to_opencv():
+    from plotweave.ops.colorspace import bgr_to_lab_u8
+
+    img = rng.integers(0, 256, (50, 60, 3)).astype(np.uint8)
+    ref = cv2.cvtColor(img, cv2.COLOR_BGR2LAB).astype(np.float32)
+    got = np.asarray(bgr_to_lab_u8(img))
+    assert np.abs(got - ref).max() <= 2.5
+
+
+def test_kmeans_deterministic_and_sane():
+    from plotweave.ops.kmeans import kmeans
+
+    # 4 well-separated blobs
+    g = np.random.default_rng(0)
+    blobs = np.concatenate(
+        [g.normal(c, 2.0, size=(500, 3)) for c in [(20, 20, 20), (80, 100, 120), (200, 128, 128), (240, 200, 180)]]
+    ).astype(np.float32)
+    c1, l1 = kmeans(blobs, 4)
+    c2, l2 = kmeans(blobs, 4)
+    assert (l1 == l2).all() and np.allclose(c1, c2)  # deterministic
+    # every blob is recovered: each true center near some fitted center
+    for c in [(20, 20, 20), (80, 100, 120), (200, 128, 128), (240, 200, 180)]:
+        assert np.min(np.linalg.norm(c1 - np.array(c), axis=1)) < 5.0
