@@ -120,6 +120,7 @@ class PipelineConfig:
     plotopt_tap_insert_radius_px: Optional[float] = None  # default: max(80, pen_width_px)
 
     # ---- stream build (step 13) ----
+    steps_per_mm: int = 40  # plotter step density (stage-14 canvas sizing)
     draw_div_start: int = 25
     draw_div_fast: int = 15
     draw_profile: str = "triangle"

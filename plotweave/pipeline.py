@@ -1,0 +1,162 @@
+"""Pipeline orchestrator + CLI.
+
+Where the reference forks a subprocess per numbered script with state passed
+through CONFIG_PATH (pipeline.py:88-111), plotweave runs all stages
+in-process — one Python, one JAX runtime, compiled programs cached across
+stages — while preserving the reference CLI surface
+(``plotweave <image> --output DIR [--start-step N --end-step M]``), the
+merged-config-on-disk contract, and the preflight artifact check.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import os
+import sys
+import time
+from typing import Callable, List, Optional, Tuple
+
+from .config import PipelineConfig, load_config, save_config
+
+STEPS: List[Tuple[str, str]] = [
+    ("Image resize", "s01_resize"),
+    ("Color extraction", "s02_color_extract"),
+    ("Edge detection", "s03_edge_detect"),
+    ("Vectorization", "s04_vectorize"),
+    ("Scale vectors", "s05_scale"),
+    ("Scaled vector preview", "s06_preview_scaled"),
+    ("Sort contours", "s07_sort"),
+    ("Intra-layer dedup", "s08_dedup_intra"),
+    ("Preview after intra-dedup", "s09_preview_intra"),
+    ("Cross-layer dedup", "s10_dedup_cross"),
+    ("Final preview", "s11_preview_cross"),
+    ("Optimize plot order", "s12_plot_order"),
+    ("Build stream", "s13_build_stream"),
+    ("Preview stream", "s14_preview_stream"),
+]
+MAX_STEP = len(STEPS)
+
+
+def stage_runner(module_name: str) -> Callable[[PipelineConfig], None]:
+    mod = importlib.import_module(f".stages.{module_name}", package=__package__)
+    return mod.run
+
+
+def missing_for_step(step_idx: int, outdir: str, color_names: List[str]) -> List[str]:
+    """Expected-but-missing artifacts when starting at ``step_idx`` (1-based);
+    prerequisite table per reference pipeline.py:114-145."""
+    need: List[str] = []
+    J = os.path.join
+    if step_idx >= 2:
+        need.append(J(outdir, "resized.png"))
+    if step_idx >= 3:
+        need += [J(outdir, c, "mask.png") for c in color_names]
+    if step_idx >= 4:
+        need += [J(outdir, c, "edges.png") for c in color_names]
+    if step_idx >= 5:
+        need += [J(outdir, c, "contours.pkl") for c in color_names]
+    if step_idx >= 6:
+        need += [J(outdir, c, "contours_scaled.pkl") for c in color_names]
+    if step_idx >= 8:
+        need += [J(outdir, c, "contours_sorted.pkl") for c in color_names]
+    if step_idx >= 9:
+        need += [J(outdir, c, "lines_intra.pkl") for c in color_names]
+    if step_idx >= 11:
+        need += [J(outdir, c, "lines_cross.pkl") for c in color_names]
+    if step_idx >= 12:
+        need += [J(outdir, c, "taps_cross.pkl") for c in color_names]
+    if step_idx >= 13:
+        need.append(J(outdir, "vector_manifest.json"))
+    if step_idx >= 14:
+        need.append(J(outdir, "plot_stream.bin"))
+    return [p for p in need if not os.path.exists(p)]
+
+
+def run_pipeline(
+    cfg: PipelineConfig,
+    start_step: int = 1,
+    end_step: int = MAX_STEP,
+    on_error: str = "raise",
+) -> None:
+    """Run stages [start_step, end_step] in-process."""
+    s0 = max(1, min(start_step, MAX_STEP))
+    s1 = max(1, min(end_step, MAX_STEP))
+    if s0 > s1:
+        s0, s1 = s1, s0
+
+    missing = missing_for_step(s0, cfg.output_dir, list(cfg.color_names))
+    if missing:
+        print("\n[Preflight] Warning: missing inputs for the chosen start step:")
+        for p in missing:
+            print(" -", p)
+        print("The step may fail; consider starting earlier.\n")
+
+    for i in range(s0 - 1, s1):
+        title, module = STEPS[i]
+        print(f"\n[{i + 1}/{MAX_STEP}] {title}…", flush=True)
+        t0 = time.perf_counter()
+        try:
+            stage_runner(module)(cfg)
+        except Exception:
+            if on_error == "raise":
+                raise
+            print(f"Error in step {i + 1} ({module})", file=sys.stderr)
+            sys.exit(1)
+        print(f"[{i + 1}/{MAX_STEP}] done in {time.perf_counter() - t0:.2f}s", flush=True)
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(prog="plotweave", description="Raster → plotter-stream pipeline (TPU-native)")
+    ap.add_argument("input_image", nargs="?", help="Input raster image")
+    ap.add_argument("--output", dest="output_dir", help="Output directory")
+    ap.add_argument("--config", dest="config_path", help="Existing config.json to load")
+    ap.add_argument("--start-step", type=int, default=1, help=f"1..{MAX_STEP}")
+    ap.add_argument("--end-step", type=int, default=MAX_STEP, help=f"1..{MAX_STEP}")
+    ap.add_argument("--pixels-per-mm", type=int, dest="pixels_per_mm")
+    ap.add_argument("--target-width-mm", type=int, dest="target_width_mm")
+    ap.add_argument("--target-height-mm", type=int, dest="target_height_mm")
+    ap.add_argument("--colors", dest="colors_json", help="BGR swatches as JSON, e.g. [[0,0,0],[255,0,0]]")
+    ap.add_argument("--backend", choices=["exact", "tpu"], default=None, help="compute backend override")
+    return ap.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    if not args.output_dir:
+        print("error: --output is required", file=sys.stderr)
+        sys.exit(2)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    base = load_config(args.config_path) if args.config_path else PipelineConfig()
+    overrides = {
+        "input_image": args.input_image,
+        "output_dir": args.output_dir,
+        "pixels_per_mm": args.pixels_per_mm,
+        "target_width_mm": args.target_width_mm,
+        "target_height_mm": args.target_height_mm,
+        "compute_backend": args.backend,
+    }
+    if args.colors_json:
+        try:
+            overrides["colors"] = json.loads(args.colors_json)
+        except json.JSONDecodeError as e:
+            print(f"Failed to parse --colors JSON: {e}", file=sys.stderr)
+
+    cfg_file = save_config(base, os.path.join(args.output_dir, "config.json"), overrides)
+    print("Config saved to", cfg_file)
+    cfg = load_config(cfg_file)
+
+    print("=" * 50)
+    print("PLOTWEAVE — RASTER → PLOTTER STREAM")
+    print("=" * 50)
+    print("Input image:", cfg.input_image)
+    print("Output dir: ", cfg.output_dir)
+
+    run_pipeline(cfg, args.start_step, args.end_step, on_error="exit")
+    print("\nDone.")
+
+
+if __name__ == "__main__":
+    main()

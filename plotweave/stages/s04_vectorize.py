@@ -1,0 +1,50 @@
+"""[04] Vectorization: edges → skeleton → centerline polylines →
+<layer>/contours.pkl (reference 04_find_contours.py).
+
+Thinning runs layer-batched on device (each layer converges independently
+inside its own while_loop under vmap); tracing — sequential by nature — runs
+on host per component.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..config import PipelineConfig
+from ..ops.thinning import zhang_suen
+from ..utils import read_image, save_pickle
+from ..vector.trace import trace_skeleton
+from .common import layer_dir
+
+
+@partial(jax.jit, static_argnames=())
+def _thin_batched(edges):
+    return jax.vmap(lambda e: zhang_suen(e, max_iter=120, rotated=True))(edges)
+
+
+def run(cfg: PipelineConfig) -> None:
+    names = list(cfg.color_names)
+    edge_imgs = []
+    for name in names:
+        p = os.path.join(cfg.output_dir, name, "edges.png")
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"Edges not found: {p}")
+        edge_imgs.append(read_image(p, gray=True))
+
+    t0 = time.perf_counter()
+    skeletons = np.asarray(_thin_batched(np.stack(edge_imgs, axis=0)))
+    print(f"[vectorize] thinning (batched, {len(names)} layers): {time.perf_counter() - t0:.2f}s")
+
+    min_len = int(cfg.thinning_min_segment_len)
+    for name, skel in zip(names, skeletons):
+        t1 = time.perf_counter()
+        paths = trace_skeleton(skel.astype(np.uint8) * 255)
+        paths = [p for p in paths if len(p) >= min_len]
+        out = os.path.join(layer_dir(cfg, name), "contours.pkl")
+        save_pickle(paths, out)
+        print(f"[{name}] traced {len(paths)} polylines in {time.perf_counter() - t1:.2f}s → {out}")

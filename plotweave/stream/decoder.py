@@ -97,7 +97,8 @@ class ReplayResult:
 
     polylines: List[np.ndarray] = field(default_factory=list)  # pen-down paths, (N,2) int32
     taps: List[Tuple[int, int]] = field(default_factory=list)
-    colors: List[int] = field(default_factory=list)  # color at each polyline/tap, interleaved
+    colors: List[int] = field(default_factory=list)  # color per polyline
+    tap_colors: List[int] = field(default_factory=list)  # color per tap
     final_pos: Tuple[int, int] = (0, 0)
 
 
@@ -143,6 +144,7 @@ def replay(decoder: StreamDecoder, canvas_w: int = 0, canvas_h: int = 0) -> Repl
             elif v == B_TAP:
                 st.taps += 1
                 res.taps.append((x, y))
+                res.tap_colors.append(color)
                 flush()
                 pen_down = False
         elif kind == COLOR:

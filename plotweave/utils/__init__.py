@@ -1,0 +1,5 @@
+"""I/O and logging helpers."""
+
+from .io import load_pickle, save_pickle, load_json, save_json, read_image, write_image
+
+__all__ = ["load_pickle", "save_pickle", "load_json", "save_json", "read_image", "write_image"]

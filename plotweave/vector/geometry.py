@@ -1,0 +1,145 @@
+"""Shared polyline geometry: all float expressions match the reference's
+numpy arithmetic bit-for-bit (same dtype, same operation order), because the
+greedy planners downstream break ties on exact float comparisons and the
+stream bytes inherit any divergence."""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+
+def as_pts(poly: np.ndarray) -> np.ndarray:
+    """(N,1,2) or (N,2) → (N,2) view."""
+    return np.asarray(poly).reshape(-1, 2)
+
+
+def perimeter_open(poly: np.ndarray) -> float:
+    """Open polyline length in float32 accumulation (08:25-28)."""
+    p = as_pts(poly).astype(np.float32)
+    if len(p) < 2:
+        return 0.0
+    return float(np.linalg.norm(p[1:] - p[:-1], axis=1).sum())
+
+
+def arc_length(poly: np.ndarray, closed: bool) -> float:
+    """Sequential double accumulation like cv2.arcLength (07:50, 10:41-43)."""
+    p = as_pts(poly).astype(np.float64)
+    if len(p) < 2:
+        return 0.0
+    d = p[1:] - p[:-1]
+    seg = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
+    total = float(np.cumsum(seg)[-1]) if len(seg) else 0.0
+    if closed:
+        dx, dy = p[0] - p[-1]
+        total += float(np.sqrt(dx * dx + dy * dy))
+    return total
+
+
+def poly_len_f32(poly: np.ndarray) -> float:
+    """float32 hypot-sum length (12:71-76)."""
+    a = as_pts(poly).astype(np.float32)
+    if a.shape[0] < 2:
+        return 0.0
+    d = a[1:] - a[:-1]
+    return float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+
+
+def is_closed(poly: np.ndarray) -> bool:
+    p = as_pts(poly)
+    return len(p) > 2 and bool(np.all(p[0] == p[-1]))
+
+
+def ensure_open(poly: np.ndarray) -> np.ndarray:
+    """Drop a duplicated closing vertex; (N,1,2) int32 out (08:48-51)."""
+    p = as_pts(poly)
+    if len(p) >= 2 and np.all(p[0] == p[-1]):
+        p = p[:-1]
+    return p.reshape(-1, 1, 2).astype(np.int32)
+
+
+def bbox(poly: np.ndarray) -> Tuple[int, int, int, int]:
+    p = as_pts(poly)
+    return (
+        int(np.floor(p[:, 0].min())),
+        int(np.floor(p[:, 1].min())),
+        int(np.ceil(p[:, 0].max())),
+        int(np.ceil(p[:, 1].max())),
+    )
+
+
+def resample_arclen(pts: np.ndarray, step: float) -> np.ndarray:
+    """Uniform arc-length resampling (08:53-64): closing vertex dropped,
+    short polylines returned unchanged, samples at t = 0, step, 2·step …"""
+    p = as_pts(pts).astype(np.float32)
+    if len(p) < 2:
+        return p
+    if is_closed(pts):
+        p = p[:-1]
+    seg = np.linalg.norm(p[1:] - p[:-1], axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    if s[-1] <= step:
+        return p
+    t = np.arange(0.0, s[-1], step, dtype=np.float32)
+    k = np.searchsorted(s, t, side="right") - 1
+    k = np.clip(k, 0, len(p) - 2)
+    u = (t - s[k]) / np.maximum(1e-6, s[k + 1] - s[k])
+    return p[k] * (1.0 - u[:, None]) + p[k + 1] * u[:, None]
+
+
+def split_on_jumps(poly: np.ndarray, max_jump: float, keep_singleton: bool = True) -> List[np.ndarray]:
+    """Split where consecutive vertices are farther than ``max_jump`` apart.
+
+    Two reference variants differ on a 1-point pending segment at a jump:
+    the intra-dedup variant (08:185-196) keeps the far point joined to it
+    (``keep_singleton=True``), the cross-dedup variant (10:49-63) discards
+    the lone point and starts fresh (``keep_singleton=False``).  Fragments
+    shorter than 2 vertices are dropped.
+    """
+    p = as_pts(poly).astype(np.float32)
+    if len(p) < 2:
+        return []
+    out: List[np.ndarray] = []
+    cur = [tuple(p[0])]
+    for i in range(1, len(p)):
+        if keep_singleton:  # 08 computes the norm in float32
+            d = float(np.linalg.norm(p[i] - p[i - 1]))
+        else:  # 10 computes hypot in float64 from float32 diffs
+            d = float(np.hypot(float(p[i, 0] - p[i - 1, 0]), float(p[i, 1] - p[i - 1, 1])))
+        jump = d > max_jump
+        if jump and len(cur) >= 2:
+            out.append(np.array(cur, np.int32).reshape(-1, 1, 2))
+            cur = [tuple(p[i])]
+        elif jump and not keep_singleton:
+            cur = [tuple(p[i])]
+        else:
+            cur.append(tuple(p[i]))
+    if len(cur) >= 2:
+        out.append(np.array(cur, np.int32).reshape(-1, 1, 2))
+    return out
+
+
+def rdp_simplify(points: np.ndarray, eps: float) -> np.ndarray:
+    """Iterative Ramer–Douglas–Peucker keep-mask (08:451-463 inline variant:
+    stack-based, perpendicular distance via unnormalized normal)."""
+    P = np.asarray(points, dtype=np.float32)
+    keep = np.zeros(len(P), bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(P) - 1)]
+    while stack:
+        s, e = stack.pop()
+        if e <= s + 1:
+            continue
+        a, b = P[s], P[e]
+        seg = b - a
+        seg_n = np.array([-seg[1], seg[0]], np.float32)
+        seg_len = float(np.linalg.norm(seg)) + 1e-12
+        d = np.abs((P[s + 1 : e] - a) @ seg_n) / seg_len
+        i = int(np.argmax(d))
+        if d[i] > eps:
+            k = s + 1 + i
+            keep[k] = True
+            stack.append((s, k))
+            stack.append((k, e))
+    return P[keep]

@@ -1,0 +1,132 @@
+"""Plot-order planning (stage 12): build the per-layer op list.
+
+Greedy routing with tap draining (reference 12_optimize_plot_order.py:85-187):
+seed with the longest polyline (reversed if its end is nearer the origin),
+after every chosen op accept all taps within ``tap_insert_radius`` of the pen
+(in candidate order, pen moving tap to tap), then take the nearest op among
+line-starts, line-ends (flip) and taps.  Scan order and strict-< updates make
+ties deterministic: earlier candidate wins, line start beats its end.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+from .geometry import as_pts, poly_len_f32
+
+Op = Dict[str, Any]
+
+
+def _d(a: Tuple[float, float], b: Tuple[float, float]) -> float:
+    return math.hypot(float(a[0] - b[0]), float(a[1] - b[1]))
+
+
+def plan_layer_ops(
+    lines: List[np.ndarray],
+    taps: List[Tuple[int, int]],
+    tap_insert_radius: float,
+) -> List[Op]:
+    ops: List[Op] = []
+
+    line_cands = []
+    for c in lines:
+        p = as_pts(c).astype(np.float32)
+        if p.shape[0] < 2:
+            continue
+        line_cands.append(
+            {
+                "points": p,
+                "start": (float(p[0, 0]), float(p[0, 1])),
+                "end": (float(p[-1, 0]), float(p[-1, 1])),
+                "len": poly_len_f32(p),
+            }
+        )
+    tap_cands = [{"pt": (float(x), float(y))} for x, y in taps]
+
+    if not line_cands and not tap_cands:
+        return ops
+
+    pos = (0.0, 0.0)
+
+    def emit_line(cand: Dict, flipped: bool) -> None:
+        nonlocal pos
+        pts = cand["points"][::-1].copy() if flipped else cand["points"]
+        ops.append({"type": "line", "points": pts})
+        pos = cand["start"] if flipped else cand["end"]
+
+    def drain_taps() -> None:
+        nonlocal pos, tap_cands
+        remaining = []
+        for t in tap_cands:
+            if _d(pos, t["pt"]) <= tap_insert_radius:
+                ops.append({"type": "tap", "x": int(round(t["pt"][0])), "y": int(round(t["pt"][1]))})
+                pos = t["pt"]
+            else:
+                remaining.append(t)
+        tap_cands = remaining
+
+    if line_cands:
+        s = max(range(len(line_cands)), key=lambda k: line_cands[k]["len"])
+        first = line_cands.pop(s)
+        emit_line(first, flipped=_d(pos, first["end"]) < _d(pos, first["start"]))
+        drain_taps()
+    else:
+        s = min(range(len(tap_cands)), key=lambda k: _d(pos, tap_cands[k]["pt"]))
+        first = tap_cands.pop(s)
+        ops.append({"type": "tap", "x": int(round(first["pt"][0])), "y": int(round(first["pt"][1]))})
+        pos = first["pt"]
+
+    while line_cands or tap_cands:
+        best_kind, best_idx, best_cost, best_flip = None, -1, 1e20, False
+        for k, c in enumerate(line_cands):
+            d1 = _d(pos, c["start"])
+            d2 = _d(pos, c["end"])
+            if d1 < best_cost:
+                best_kind, best_idx, best_cost, best_flip = "line", k, d1, False
+            if d2 < best_cost:
+                best_kind, best_idx, best_cost, best_flip = "line", k, d2, True
+        for k, t in enumerate(tap_cands):
+            if _d(pos, t["pt"]) < best_cost:
+                best_kind, best_idx, best_cost, best_flip = "tap", k, _d(pos, t["pt"]), False
+
+        if best_kind == "line":
+            emit_line(line_cands.pop(best_idx), best_flip)
+            drain_taps()
+        else:
+            t = tap_cands.pop(best_idx)
+            ops.append({"type": "tap", "x": int(round(t["pt"][0])), "y": int(round(t["pt"][1]))})
+            pos = t["pt"]
+
+    return ops
+
+
+def layer_color_index(name: str) -> int:
+    """Manifest color index hardcoded by layer-name substring (12:210-219)."""
+    if "dark" in name:
+        return 3
+    if "skin" in name:
+        return 0
+    if "mid" in name:
+        return 1
+    if "light" in name:
+        return 2
+    return 0
+
+
+def tour_length(ops: List[Op], start: Tuple[float, float] = (0.0, 0.0)) -> float:
+    """Total pen-up travel distance of an op list (benchmark metric)."""
+    pos = start
+    total = 0.0
+    for op in ops:
+        if op["type"] == "tap":
+            q = (float(op["x"]), float(op["y"]))
+            total += _d(pos, q)
+            pos = q
+        else:
+            p = op["points"]
+            total += _d(pos, (float(p[0, 0]), float(p[0, 1])))
+            pos = (float(p[-1, 0]), float(p[-1, 1]))
+    return total

@@ -1,0 +1,44 @@
+"""Affine page-fit scaling of contour sets (stage 05).
+
+Fit semantics per 05_scale_vectors.py:63-96: isotropic min-scale into the
+inner rect (page minus margins) when keep_aspect, translate to the inner
+rect's top-left, float32 affine, truncate to int32.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+
+def fit_scale(
+    src_wh: Tuple[int, int],
+    full_wh: Tuple[int, int],
+    margins: Tuple[int, int, int, int],
+    keep_aspect: bool = True,
+) -> Tuple[float, float, int, int]:
+    """(sx, sy, dx, dy): scale factors into the inner rect + its top-left."""
+    ml, mr, mt, mb = margins
+    inner_w = max(1, full_wh[0] - ml - mr)
+    inner_h = max(1, full_wh[1] - mt - mb)
+    sx = inner_w / max(1e-6, src_wh[0])
+    sy = inner_h / max(1e-6, src_wh[1])
+    if keep_aspect:
+        s = min(sx, sy)
+        sx = sy = s
+    return sx, sy, ml, mt
+
+
+def scale_polys(polys: List[np.ndarray], sx: float, sy: float, dx: float, dy: float) -> List[np.ndarray]:
+    """float32 (pts @ diag(sx,sy)) + (dx,dy), truncated to int32 (05:82-96)."""
+    out: List[np.ndarray] = []
+    if not polys:
+        return out
+    S = np.array([[sx, 0.0], [0.0, sy]], dtype=np.float32)
+    T = np.array([dx, dy], dtype=np.float32)
+    for p in polys:
+        pts = p.reshape(-1, 2).astype(np.float32)
+        pts = (pts @ S.T) + T
+        out.append(pts.reshape(-1, 1, 2).astype(np.int32))
+    return out

@@ -1,0 +1,115 @@
+"""Greedy nearest-neighbor travel ordering with endpoint flipping.
+
+One engine covers the reference's three greedy variants, which differ only
+in seed-length metric and closed-contour awareness:
+
+- stage 07 (07_sort_contours.py:36-88): closed-aware, seeds on closed arc
+  length, never flips closed contours, re-closes after assembly;
+- stage 08's post-dedup reorder (08:223-248): open float32 perimeter;
+- stage 10's reorder (10:69-97): open double arc length.
+
+Selection semantics are exact: distances are float32 squared sums computed
+with the same numpy expressions, candidates are scanned in ascending index
+with strict-< updates (first minimum wins), and an open contour prefers its
+start when d²(start) ≤ d²(end).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .geometry import arc_length, as_pts, perimeter_open
+
+
+def _endpoints(poly: np.ndarray, strip_closed: bool) -> Tuple[np.ndarray, np.ndarray, bool]:
+    pts = as_pts(poly)
+    closed = bool(np.all(pts[0] == pts[-1])) and len(pts) > 1
+    if strip_closed and closed:
+        pts = pts[:-1]
+    return pts[0], pts[-1], closed
+
+
+def greedy_order(
+    polys: Sequence[np.ndarray],
+    lengths: Sequence[float],
+    closed: Sequence[bool],
+    closed_aware: bool,
+) -> Tuple[List[int], List[bool]]:
+    """Return (order, flips) of the greedy nearest-endpoint tour."""
+    n = len(polys)
+    starts = np.array([_endpoints(c, closed_aware)[0] for c in polys])
+    ends = np.array([_endpoints(c, closed_aware)[1] for c in polys])
+
+    used = np.zeros(n, dtype=bool)
+    cur = int(np.argmax(lengths))
+    order, flips = [cur], [False]
+    used[cur] = True
+    cur_end = starts[cur] if (closed_aware and closed[cur]) else ends[cur]
+
+    while not np.all(used):
+        idxs = np.flatnonzero(~used)
+        d2s = np.sum((starts[idxs].astype(np.float32) - cur_end.astype(np.float32)) ** 2, axis=1)
+        d2e = np.sum((ends[idxs].astype(np.float32) - cur_end.astype(np.float32)) ** 2, axis=1)
+        best, flip, bd = -1, False, np.float32(np.inf)
+        for k, i in enumerate(idxs):
+            if closed_aware and closed[i]:
+                if d2s[k] < bd:
+                    bd, best, flip = d2s[k], i, False
+            elif d2s[k] <= d2e[k]:
+                if d2s[k] < bd:
+                    bd, best, flip = d2s[k], i, False
+            else:
+                if d2e[k] < bd:
+                    bd, best, flip = d2e[k], i, True
+        used[best] = True
+        order.append(best)
+        flips.append(flip)
+        if closed_aware and closed[best]:
+            cur_end = starts[best]
+        else:
+            cur_end = starts[best] if flip else ends[best]
+    return order, flips
+
+
+def apply_order(polys: Sequence[np.ndarray], order: List[int], flips: List[bool], reclose: bool) -> List[np.ndarray]:
+    out: List[np.ndarray] = []
+    for i, f in zip(order, flips):
+        pts = as_pts(polys[i])
+        if f:
+            pts = pts[::-1].copy()
+        if reclose:
+            orig = as_pts(polys[i])
+            if np.all(orig[0] == orig[-1]) and not np.all(pts[0] == pts[-1]):
+                pts = np.vstack([pts, pts[0]])
+        out.append(pts.reshape(-1, 1, 2).astype(np.int32))
+    return out
+
+
+def sort_contours(polys: List[np.ndarray]) -> List[np.ndarray]:
+    """Stage-07 ordering: closed-aware, seeded on closed arc length."""
+    if not polys:
+        return []
+    closed = [(_endpoints(c, True))[2] for c in polys]
+    lengths = [arc_length(c, True) for c in polys]
+    order, flips = greedy_order(polys, lengths, closed, closed_aware=True)
+    return apply_order(polys, order, flips, reclose=True)
+
+
+def reorder_intra(polys: List[np.ndarray]) -> List[np.ndarray]:
+    """Stage-08 post-dedup reorder: open float32 perimeter seed."""
+    if not polys:
+        return []
+    lengths = [perimeter_open(c) for c in polys]
+    order, flips = greedy_order(polys, lengths, [False] * len(polys), closed_aware=False)
+    return apply_order(polys, order, flips, reclose=False)
+
+
+def reorder_cross(polys: List[np.ndarray]) -> List[np.ndarray]:
+    """Stage-10 reorder: open double arc-length seed."""
+    if not polys:
+        return []
+    lengths = [arc_length(c, False) for c in polys]
+    order, flips = greedy_order(polys, lengths, [False] * len(polys), closed_aware=False)
+    return apply_order(polys, order, flips, reclose=False)

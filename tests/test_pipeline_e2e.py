@@ -1,0 +1,126 @@
+"""End-to-end pipeline test against committed reference-run artifacts.
+
+The golden tarball holds a full reference-pipeline run (steps 1–13) on the
+committed synthetic test image.  This test runs the plotweave pipeline on the
+same image/config and compares EVERY stage artifact — masks, edges, all six
+pickle stages, the manifest — and finally requires plot_stream.bin to be
+byte-identical (the SURVEY §6 headline metric).
+
+The synthetic image uses well-separated solid colors so that k-means (whose
+cv2 RNG cannot be reproduced) converges to the identical Voronoi assignment
+in both implementations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import tarfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLDEN = Path(__file__).parent / "golden" / "e2e"
+
+
+@pytest.fixture(scope="module")
+def runs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("e2e")
+    ref_dir = base / "ref"
+    ref_dir.mkdir()
+    with tarfile.open(GOLDEN / "ref_artifacts.tar.gz") as tf:
+        tf.extractall(ref_dir, filter="data")
+
+    mine_dir = base / "mine"
+    mine_dir.mkdir()
+    cfg_dict = json.loads((GOLDEN / "base_cfg.json").read_text())
+    cfg_dict["input_image"] = str(GOLDEN / "testimg.png")
+    cfg_dict["output_dir"] = str(mine_dir)
+    (mine_dir / "config.json").write_text(json.dumps(cfg_dict))
+
+    from plotweave.config import load_config
+    from plotweave.pipeline import run_pipeline
+
+    cfg = load_config(str(mine_dir / "config.json"))
+    run_pipeline(cfg, 1, 13)
+    return ref_dir, mine_dir
+
+
+LAYERS = ["layer_dark", "layer_mid", "layer_skin", "layer_light"]
+
+
+def _cmp_pkl(a: Path, b: Path) -> None:
+    A = pickle.loads(a.read_bytes())
+    B = pickle.loads(b.read_bytes())
+    assert len(A) == len(B), f"{a.name}: {len(A)} vs {len(B)} items"
+    for i, (x, y) in enumerate(zip(A, B)):
+        if isinstance(x, dict):  # ops
+            assert x["type"] == y["type"], f"{a.name}[{i}] type"
+            if x["type"] == "line":
+                assert np.array_equal(x["points"], y["points"]), f"{a.name}[{i}] points"
+            else:
+                assert (x["x"], x["y"]) == (y["x"], y["y"]), f"{a.name}[{i}] tap"
+        else:
+            assert np.array_equal(np.asarray(x), np.asarray(y)), f"{a.name}[{i}]"
+
+
+@pytest.mark.parametrize("fname", ["mask.png", "edges.png"])
+def test_raster_artifacts_identical(runs, fname):
+    import cv2
+
+    ref, mine = runs
+    for layer in LAYERS:
+        a = cv2.imread(str(ref / layer / fname), cv2.IMREAD_GRAYSCALE)
+        b = cv2.imread(str(mine / layer / fname), cv2.IMREAD_GRAYSCALE)
+        assert a is not None and b is not None
+        assert (a == b).all(), f"{layer}/{fname}"
+
+
+@pytest.mark.parametrize(
+    "fname",
+    [
+        "contours.pkl",
+        "contours_scaled.pkl",
+        "contours_sorted.pkl",
+        "lines_intra.pkl",
+        "taps_intra.pkl",
+        "lines_cross.pkl",
+        "taps_cross.pkl",
+        "ops.pkl",
+    ],
+)
+def test_vector_artifacts_identical(runs, fname):
+    ref, mine = runs
+    for layer in LAYERS:
+        _cmp_pkl(ref / layer / fname, mine / layer / fname)
+
+
+def test_manifest_identical(runs):
+    ref, mine = runs
+    assert json.loads((ref / "vector_manifest.json").read_text()) == json.loads(
+        (mine / "vector_manifest.json").read_text()
+    )
+
+
+def test_stream_byte_identical(runs):
+    ref, mine = runs
+    a = (ref / "plot_stream.bin").read_bytes()
+    b = (mine / "plot_stream.bin").read_bytes()
+    assert a == b, (
+        f"stream differs: lens {len(a)}/{len(b)}, first diff at "
+        f"{next((i for i, (x, y) in enumerate(zip(a, b)) if x != y), 'len')}"
+    )
+
+
+def test_stream_decodes_cleanly(runs):
+    from plotweave.stream.decoder import StreamDecoder, replay
+
+    _, mine = runs
+    dec = StreamDecoder((mine / "plot_stream.bin").read_bytes())
+    man = json.loads((mine / "vector_manifest.json").read_text())
+    W, H = man["image_size"]
+    replay(dec, W, H)
+    assert dec.stats.eof_seen
+    assert dec.stats.off_canvas_steps == 0
