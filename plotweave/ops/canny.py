@@ -21,20 +21,23 @@ _SHIFT = 15
 
 
 def _nbr(x: jax.Array, dy: int, dx: int, fill=0) -> jax.Array:
-    """Neighbor lookup: out[i, j] = x[i+dy, j+dx], out-of-bounds reads ``fill``."""
-    h, w = x.shape
-    p = jnp.pad(x, ((1, 1), (1, 1)), constant_values=fill)
-    return jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
+    """Neighbor lookup on the last two dims: out[..., i, j] = x[..., i+dy, j+dx],
+    out-of-bounds reads ``fill``.  Leading dims ride along (no vmap needed)."""
+    h, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(x, pad, constant_values=fill)
+    return p[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
 
 
 def _sobel_pair(img: jax.Array):
-    """3×3 Sobel dx, dy with replicate border, int32."""
+    """3×3 Sobel dx, dy with replicate border, int32; batched over leading dims."""
     x = img.astype(jnp.int32)
-    p = jnp.pad(x, 1, mode="edge")
-    h, w = img.shape
+    h, w = img.shape[-2], img.shape[-1]
+    pad = [(0, 0)] * (img.ndim - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(x, pad, mode="edge")
 
     def at(dy, dx):
-        return jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
+        return p[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
 
     # smooth along one axis [1,2,1], derivative along the other [-1,0,1]
     gx = (at(-1, 1) + 2 * at(0, 1) + at(1, 1)) - (at(-1, -1) + 2 * at(0, -1) + at(1, -1))
@@ -44,7 +47,10 @@ def _sobel_pair(img: jax.Array):
 
 @partial(jax.jit, static_argnames=("low", "high"))
 def canny(img: jax.Array, low: int, high: int) -> jax.Array:
-    """Binary edge map (uint8 0/255) of a (H, W) uint8 image."""
+    """Binary edge map (uint8 0/255) of a (..., H, W) uint8 image.
+
+    Leading dims are batched; hysteresis runs as one joint fixpoint over the
+    whole batch (extra sweeps past a layer's convergence are no-ops)."""
     if low > high:
         low, high = high, low
     gx, gy = _sobel_pair(img)

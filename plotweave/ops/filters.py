@@ -40,19 +40,23 @@ def gaussian_kernel_q8(ksize: int, sigma: float = 0.0) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("ksize", "sigma"))
 def gaussian_blur_u8(img: jax.Array, ksize: int, sigma: float = 0.0) -> jax.Array:
-    """Blur a (H, W) uint8 image; reflect-101 border; bit-exact for ksize ≤ 7."""
-    kq = jnp.asarray(gaussian_kernel_q8(ksize, sigma))
+    """Blur (..., H, W) uint8; reflect-101 border; bit-exact for ksize ≤ 7.
+
+    Leading dims (layer/batch) ride along — static slices, no vmap needed.
+    """
+    kq = gaussian_kernel_q8(ksize, sigma)
     r = ksize // 2
     x = img.astype(jnp.int32)
     if r == 0:
         return img
-    p = jnp.pad(x, ((0, 0), (r, r)), mode="reflect")
-    h, w = img.shape
+    h, w = img.shape[-2], img.shape[-1]
+    lead = [(0, 0)] * (img.ndim - 2)
+    p = jnp.pad(x, lead + [(0, 0), (r, r)], mode="reflect")
     tmp = jnp.zeros_like(x)
     for i in range(ksize):  # static unroll; XLA fuses into one pass
-        tmp = tmp + kq[i] * jax.lax.dynamic_slice_in_dim(p, i, w, axis=1)
-    p = jnp.pad(tmp, ((r, r), (0, 0)), mode="reflect")
+        tmp = tmp + int(kq[i]) * p[..., :, i : i + w]
+    p = jnp.pad(tmp, lead + [(r, r), (0, 0)], mode="reflect")
     acc = jnp.zeros_like(x)
     for i in range(ksize):
-        acc = acc + kq[i] * jax.lax.dynamic_slice_in_dim(p, i, h, axis=0)
+        acc = acc + int(kq[i]) * p[..., i : i + h, :]
     return jnp.clip((acc + (1 << 15)) >> 16, 0, 255).astype(jnp.uint8)

@@ -40,15 +40,20 @@ def structuring_element(shape: str, ksize: int) -> np.ndarray:
 
 
 def _window_reduce(x: jax.Array, se: np.ndarray, is_max: bool) -> jax.Array:
-    """Min/max over the structuring element footprint via shifted slices."""
-    h, w = x.shape
+    """Min/max over the structuring element footprint via shifted slices.
+
+    Operates on the last two dims; any leading dims (layer/batch) ride along —
+    batching is free (static slices), no vmap needed.
+    """
+    h, w = x.shape[-2], x.shape[-1]
     ry, rx = se.shape[0] // 2, se.shape[1] // 2
     pad_val = jnp.iinfo(x.dtype).min if is_max else jnp.iinfo(x.dtype).max
-    p = jnp.pad(x, ((ry, ry), (rx, rx)), constant_values=pad_val)
+    pad = [(0, 0)] * (x.ndim - 2) + [(ry, ry), (rx, rx)]
+    p = jnp.pad(x, pad, constant_values=pad_val)
     ys, xs = np.nonzero(se)
     acc = None
     for dy, dx in zip(ys.tolist(), xs.tolist()):
-        win = jax.lax.dynamic_slice(p, (dy, dx), (h, w))
+        win = p[..., dy : dy + h, dx : dx + w]
         acc = win if acc is None else (jnp.maximum(acc, win) if is_max else jnp.minimum(acc, win))
     return acc
 

@@ -30,11 +30,12 @@ def _neighbors(x: jax.Array, rotated: bool):
     is not rotation-symmetric, so the two variants differ on rare patterns and
     both must be available for bit-exact parity.
     """
-    h, w = x.shape
-    p = jnp.pad(x, 1)
+    h, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(x, pad)
 
     def at(dy, dx):
-        return jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w))
+        return p[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
 
     ring = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
     if rotated:
@@ -59,10 +60,12 @@ def _subpass(x: jax.Array, first: bool, rotated: bool) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("max_iter", "rotated"))
 def zhang_suen(binary: jax.Array, max_iter: int = 120, rotated: bool = True) -> jax.Array:
-    """Thin a (H, W) 0/1 (or 0/255) image to a 1-px skeleton; returns 0/1 int32.
+    """Thin a (..., H, W) 0/1 (or 0/255) image to 1-px skeletons; 0/1 int32.
 
-    ``rotated=True`` reproduces stage 04's thinner; ``rotated=False`` with
-    ``max_iter=48`` reproduces stage 08's fallback thinner.
+    Leading dims are batched with one joint convergence loop (iterations past
+    an element's fixpoint are no-ops).  ``rotated=True`` reproduces stage 04's
+    thinner; ``rotated=False`` with ``max_iter=48`` reproduces stage 08's
+    fallback thinner.
     """
     x0 = (binary > 0).astype(jnp.int32)
 

@@ -1,0 +1,257 @@
+"""Spatial sharding: one large image row-sharded across the mesh.
+
+Stencil stages exchange 1-to-3-row halos with mesh neighbors via
+``jax.lax.ppermute`` (ICI traffic only); iterative fixpoints (Canny
+hysteresis, Zhang–Suen thinning) exchange a 1-row halo per sweep and reach
+global convergence via an all-reduced changed flag.  This is the TPU analog
+of the reference's resolution cap — instead of downscaling a 4K+ input
+(01_resize.py:15-20), shard it (SURVEY §5 long-context mapping).
+
+Outputs are bit-identical to the single-device ops (halo regions are compute
+margins, discarded after each exchange; global borders reproduce each op's
+border mode on the edge shards).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.canny import _nbr, _sobel_pair, _TG22, _SHIFT
+from ..ops.colorspace import bgr_to_lab_u8
+from ..ops.filters import gaussian_kernel_q8
+from ..ops.morphology import structuring_element
+from ..ops.thinning import _subpass
+
+AXIS = "space"
+
+
+def _with_halo(x: jax.Array, h: int, border: str) -> jax.Array:
+    """Prepend/append ``h`` rows from mesh neighbors; edge shards synthesize
+    the global border (zero / reflect-101 / edge-replicate)."""
+    n = jax.lax.axis_size(AXIS)
+    i = jax.lax.axis_index(AXIS)
+    down = [(j, j + 1) for j in range(n - 1)]  # my bottom rows → next shard's top halo
+    up = [(j, j - 1) for j in range(1, n)]
+    from_above = jax.lax.ppermute(x[-h:], AXIS, down)
+    from_below = jax.lax.ppermute(x[:h], AXIS, up)
+
+    if border == "zero":
+        top_fill = jnp.zeros_like(x[:h])
+        bot_fill = jnp.zeros_like(x[:h])
+    elif border == "reflect":  # reflect-101
+        top_fill = x[1 : h + 1][::-1]
+        bot_fill = x[-h - 1 : -1][::-1]
+    elif border == "edge":
+        top_fill = jnp.repeat(x[:1], h, axis=0)
+        bot_fill = jnp.repeat(x[-1:], h, axis=0)
+    else:
+        raise ValueError(border)
+
+    top = jnp.where(i == 0, top_fill, from_above)
+    bot = jnp.where(i == n - 1, bot_fill, from_below)
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
+def _morph_halo(x: jax.Array, se: np.ndarray, is_max: bool) -> jax.Array:
+    """One erode/dilate with fresh 1-row halos (OpenCV border semantics:
+    the border never constrains — emulated by edge-replicate halos at the
+    global boundary, which is equivalent for min/max)."""
+    r = se.shape[0] // 2
+    xp = _with_halo(x, r, "edge")
+    h_out, w_out = x.shape  # halo rows are consumed, width is locally padded
+    pad_val = jnp.iinfo(x.dtype).min if is_max else jnp.iinfo(x.dtype).max
+    p = jnp.pad(xp, ((0, 0), (r, r)), constant_values=pad_val)
+    ys, xs = np.nonzero(se)
+    acc = None
+    for dy, dx in zip(ys.tolist(), xs.tolist()):
+        win = jax.lax.dynamic_slice(p, (dy, dx), (h_out, w_out))
+        acc = win if acc is None else (jnp.maximum(acc, win) if is_max else jnp.minimum(acc, win))
+    return acc
+
+
+def _blur_halo(x: jax.Array, ksize: int) -> jax.Array:
+    kq = jnp.asarray(gaussian_kernel_q8(ksize))
+    r = ksize // 2
+    xi = x.astype(jnp.int32)
+    h, w = xi.shape
+    p = jnp.pad(xi, ((0, 0), (r, r)), mode="reflect")
+    tmp = sum(kq[i] * jax.lax.dynamic_slice_in_dim(p, i, w, axis=1) for i in range(ksize))
+    tp = _with_halo(tmp, r, "reflect")
+    acc = sum(kq[i] * jax.lax.dynamic_slice_in_dim(tp, i, h, axis=0) for i in range(ksize))
+    return jnp.clip((acc + (1 << 15)) >> 16, 0, 255).astype(jnp.uint8)
+
+
+def _canny_halo(img: jax.Array, low: int, high: int, reduce_axes=(AXIS,)) -> jax.Array:
+    """Canny with distributed hysteresis: Sobel+NMS on a 2-row halo, then a
+    strong→weak growth fixpoint exchanging 1 row per sweep."""
+    if low > high:
+        low, high = high, low
+    x2 = _with_halo(img, 2, "edge")  # sobel(1) + nms(1)
+    gx, gy = _sobel_pair(x2)
+    mag = jnp.abs(gx) + jnp.abs(gy)
+    # Single-device NMS reads mag as 0 beyond the image border; the edge
+    # shards' synthesized halo rows lie outside the true image, so zero them.
+    n = jax.lax.axis_size(AXIS)
+    i = jax.lax.axis_index(AXIS)
+    rows = jnp.arange(mag.shape[0])[:, None]
+    outside = ((i == 0) & (rows < 2)) | ((i == n - 1) & (rows >= mag.shape[0] - 2))
+    mag = jnp.where(outside, 0, mag)
+    ax = jnp.abs(gx)
+    ay = jnp.abs(gy) << _SHIFT
+    tg22x = ax * _TG22
+    tg67x = tg22x + (ax << (_SHIFT + 1))
+    horiz = ay < tg22x
+    vert = ay > tg67x
+    sign_neg = (gx ^ gy) < 0
+    keep_h = (mag > _nbr(mag, 0, -1)) & (mag >= _nbr(mag, 0, 1))
+    keep_v = (mag > _nbr(mag, -1, 0)) & (mag >= _nbr(mag, 1, 0))
+    keep_d = jnp.where(
+        sign_neg,
+        (mag > _nbr(mag, -1, 1)) & (mag > _nbr(mag, 1, -1)),
+        (mag > _nbr(mag, -1, -1)) & (mag > _nbr(mag, 1, 1)),
+    )
+    keep = jnp.where(horiz, keep_h, jnp.where(vert, keep_v, keep_d))
+
+    # NMS used mag-neighbor reads: rows [1:-1] of the halo'd frame are valid;
+    # slice back to the local region (drop the 2-row halo).
+    cand = ((mag > low) & keep)[2:-2]
+    strong = cand & (mag[2:-2] > high)
+
+    def sweep(state):
+        edges, _ = state
+        ep = _with_halo(edges, 1, "zero")
+        nbr = ep
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    nbr = nbr | _nbr(ep, dy, dx, fill=False)
+        new = cand & nbr[1:-1]
+        changed = jax.lax.psum(jnp.any(new != edges).astype(jnp.int32), reduce_axes) > 0
+        return new, changed
+
+    edges, _ = jax.lax.while_loop(lambda s: s[1], sweep, (strong, jnp.array(True)))
+    return jnp.where(edges, jnp.uint8(255), jnp.uint8(0))
+
+
+def _thin_halo(edges: jax.Array, max_iter: int = 120, reduce_axes=(AXIS,)) -> jax.Array:
+    """Zhang–Suen with a 1-row halo exchange before each subpass and a
+    psum'd convergence flag (stage-04 rotated ring)."""
+    x0 = (edges > 0).astype(jnp.int32)
+
+    def sub(x, first):
+        xp = _with_halo(x, 1, "zero")
+        return _subpass(xp, first=first, rotated=True)[1:-1]
+
+    def body(state):
+        x, it, _ = state
+        x1 = sub(x, True)
+        x2 = sub(x1, False)
+        changed = jax.lax.psum(jnp.any(x2 != x).astype(jnp.int32), reduce_axes) > 0
+        return x2, it + 1, changed
+
+    x, _, _ = jax.lax.while_loop(
+        lambda s: s[2] & (s[1] < max_iter), body, (x0, jnp.int32(0), jnp.array(True))
+    )
+    return x
+
+
+def make_local_frontend(k: int, edge_kernel: int, blur_kernel: int, low: int, high: int, reduce_axes=(AXIS,)):
+    """Per-shard front-end body (expects to run inside shard_map over AXIS)."""
+    se = structuring_element("ellipse", edge_kernel)
+
+    def local(img_rows, ctrs):
+        lab = bgr_to_lab_u8(img_rows)
+        flat = lab.reshape(-1, 3)
+        d2 = (
+            jnp.sum(flat * flat, axis=1, keepdims=True)
+            - 2.0 * flat @ ctrs.T
+            + jnp.sum(ctrs * ctrs, axis=1)
+        )
+        labels = jnp.argmin(d2, axis=1).reshape(img_rows.shape[:2])
+
+        def per_layer(idx):
+            m = (labels == idx).astype(jnp.uint8) * 255
+            rect = structuring_element("rect", 3)
+            m = _morph_halo(m, rect, False)
+            m = _morph_halo(m, rect, True)  # open
+            m = _morph_halo(m, rect, True)
+            m = _morph_halo(m, rect, False)  # close
+            m = _morph_halo(m, se, False)
+            m = _morph_halo(m, se, True)  # edge open
+            m = _morph_halo(m, se, True)
+            m = _morph_halo(m, se, False)  # edge close
+            e = _canny_halo(_blur_halo(m, blur_kernel), low, high, reduce_axes)
+            s = _thin_halo(e, reduce_axes=reduce_axes)
+            return e, s
+
+        return jax.vmap(per_layer)(jnp.arange(k))
+
+    return local
+
+
+def spatial_frontend(
+    mesh: Mesh,
+    image,
+    centers,
+    *,
+    k: int = 4,
+    edge_kernel: int = 3,
+    blur_kernel: int = 7,
+    low: int = 22,
+    high: int = 70,
+):
+    """Row-sharded front-end over one image: (H, W, 3) uint8 + (k, 3) centers
+    → (k, H, W) edges, (k, H, W) skeletons, H sharded over the ``space`` axis.
+    """
+    local = make_local_frontend(k, edge_kernel, blur_kernel, low, high)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS), P()),
+        out_specs=(P(None, AXIS), P(None, AXIS)),
+        check_rep=False,
+    )
+    return jax.jit(fn)(image, centers)
+
+
+def grid_frontend(
+    mesh: Mesh,
+    images,
+    centers,
+    *,
+    k: int = 4,
+    edge_kernel: int = 3,
+    blur_kernel: int = 7,
+    low: int = 22,
+    high: int = 70,
+    data_axis: str = "data",
+):
+    """2-D mesh: batch over ``data`` × rows over ``space`` simultaneously.
+
+    (B, H, W, 3) images + (k, 3) shared centers → (B, k, H, W) outputs with
+    B sharded over ``data`` and H over ``space`` — the dp×sp layout for
+    many large images at once.
+    """
+    # convergence must be all-reduced over the FULL mesh: the data groups'
+    # fixpoints otherwise iterate different counts and the per-iteration
+    # ppermutes deadlock across groups (extra sweeps are no-ops).
+    local1 = make_local_frontend(k, edge_kernel, blur_kernel, low, high,
+                                 reduce_axes=(data_axis, AXIS))
+
+    def local(imgs, ctrs):
+        return jax.vmap(lambda im: local1(im, ctrs))(imgs)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(data_axis, AXIS), P()),
+        out_specs=(P(data_axis, None, AXIS), P(data_axis, None, AXIS)),
+        check_rep=False,
+    )
+    return jax.jit(fn)(images, centers)

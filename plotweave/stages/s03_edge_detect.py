@@ -29,16 +29,13 @@ def _ensure_odd(n: int) -> int:
 
 @partial(jax.jit, static_argnames=("mk", "oi", "ci", "bk", "lo", "hi"))
 def _edges_batched(masks, mk: int, oi: int, ci: int, bk: int, lo: int, hi: int):
-    """(L, H, W) masks → (L, H, W) edges, all stages fused per layer."""
-
-    def one(m):
-        if oi > 0:
-            m = _morph(m, "ellipse", mk, oi, "ed")
-        if ci > 0:
-            m = _morph(m, "ellipse", mk, ci, "de")
-        return canny(gaussian_blur_u8(m, bk), lo, hi)
-
-    return jax.vmap(one)(masks)
+    """(L, H, W) masks → (L, H, W) edges; the ops are natively layer-batched."""
+    m = masks
+    if oi > 0:
+        m = _morph(m, "ellipse", mk, oi, "ed")
+    if ci > 0:
+        m = _morph(m, "ellipse", mk, ci, "de")
+    return canny(gaussian_blur_u8(m, bk), lo, hi)
 
 
 def run(cfg: PipelineConfig) -> None:

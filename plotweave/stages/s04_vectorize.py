@@ -24,7 +24,7 @@ from .common import layer_dir
 
 @partial(jax.jit, static_argnames=())
 def _thin_batched(edges):
-    return jax.vmap(lambda e: zhang_suen(e, max_iter=120, rotated=True))(edges)
+    return zhang_suen(edges, max_iter=120, rotated=True)  # natively layer-batched
 
 
 def run(cfg: PipelineConfig) -> None:
