@@ -1,0 +1,57 @@
+"""CLI: SVG → page-fitted G-code (reference svg_to_stream/svg2gcode.py,
+reimplemented without the unavailable ``svg_to_gcode`` package: native parse
++ batched curve sampling + bbox fit into page-minus-margins)."""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from .svg import fit_to_page, polylines_to_gcode, svg_to_polylines
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="Convert SVG to page-fitted plotter G-code")
+    ap.add_argument("input")
+    ap.add_argument("-o", "--output", default="out.gcode")
+    ap.add_argument("--page-width-mm", type=float, default=210.0)
+    ap.add_argument("--page-height-mm", type=float, default=297.0)
+    ap.add_argument("--margin-mm", type=float, default=10.0)
+    ap.add_argument("--samples-per-unit", type=float, default=0.5,
+                    help="curve sampling density in points per SVG user unit")
+    ap.add_argument("--no-fit", action="store_true", help="keep raw SVG coordinates")
+    return ap
+
+
+def convert(
+    svg_text: str,
+    page_w: float = 210.0,
+    page_h: float = 297.0,
+    margin: float = 10.0,
+    samples_per_unit: float = 0.5,
+    fit: bool = True,
+) -> str:
+    polys = svg_to_polylines(svg_text, samples_per_unit)
+    if fit:
+        polys = fit_to_page(polys, page_w, page_h, margin)
+    return polylines_to_gcode(polys)
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+    svg_text = Path(args.input).read_text(encoding="utf-8", errors="ignore")
+    gcode = convert(
+        svg_text,
+        args.page_width_mm,
+        args.page_height_mm,
+        args.margin_mm,
+        args.samples_per_unit,
+        fit=not args.no_fit,
+    )
+    Path(args.output).write_text(gcode, encoding="utf-8")
+    n_paths = gcode.count("M3")
+    print(f"G-code saved: {args.output} ({n_paths} paths)")
+
+
+if __name__ == "__main__":
+    main()

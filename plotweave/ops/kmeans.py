@@ -58,11 +58,16 @@ def _kpp_init(data: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
     n = data.shape[0]
     centers = np.empty((k, data.shape[1]), dtype=data.dtype)
     centers[0] = data[rng.integers(n)]
-    d2 = np.sum((data - centers[0]) ** 2, axis=1)
+    d2 = np.sum((data.astype(np.float64) - centers[0]) ** 2, axis=1)
     for i in range(1, k):
-        probs = d2 / max(d2.sum(), 1e-12)
+        total = d2.sum()
+        if total <= 0:  # degenerate: all points coincide with chosen centers
+            centers[i] = data[rng.integers(n)]
+            continue
+        probs = d2 / total
+        probs /= probs.sum()  # exact renormalization for rng.choice
         centers[i] = data[rng.choice(n, p=probs)]
-        d2 = np.minimum(d2, np.sum((data - centers[i]) ** 2, axis=1))
+        d2 = np.minimum(d2, np.sum((data.astype(np.float64) - centers[i]) ** 2, axis=1))
     return centers
 
 
