@@ -17,7 +17,8 @@ from math import cos, sin, tau
 from pathlib import Path
 from typing import List, Tuple
 
-from ..stream import MotionProfile, StreamBuilder, travel_ramped
+from ..stream import MotionProfile
+from ..stream.emitter import StreamEmitter
 
 STEPS_PER_MM = 40.0
 A4_W_MM, A4_H_MM = 210.0, 297.0
@@ -32,7 +33,7 @@ class Turtle:
     """Stateful pen over a StreamBuilder: dedups pen transitions, rides the
     ramped travel engine for both travel and draw moves."""
 
-    sb: StreamBuilder
+    sb: StreamEmitter
     prof: MotionProfile
     x: int = 0
     y: int = 0
@@ -51,7 +52,7 @@ class Turtle:
     def travel(self, tx: int, ty: int):
         self.pen_up()
         if (tx, ty) != (self.x, self.y):
-            travel_ramped(self.sb, self.x, self.y, tx, ty, self.prof)
+            self.sb.travel(self.x, self.y, tx, ty, self.prof)
             self.x, self.y = tx, ty
 
     def stroke(self, tx: int, ty: int):
@@ -66,9 +67,9 @@ class Turtle:
                 div_start=max(self.prof.div_start, 12),
                 div_fast=min(10, max(self.prof.div_start, 12)),
             )
-            travel_ramped(self.sb, self.x, self.y, tx, ty, soft)
+            self.sb.travel(self.x, self.y, tx, ty, soft)
         else:
-            travel_ramped(self.sb, self.x, self.y, tx, ty, self.prof)
+            self.sb.travel(self.x, self.y, tx, ty, self.prof)
         self.x, self.y = tx, ty
 
     def polyline(self, pts: List[Point]):
@@ -295,7 +296,7 @@ def generate_demo(output: str = "demo_stream.bin") -> bytes:
         corner_div=25,
         corner_window_steps=300,
     )
-    sb = StreamBuilder()
+    sb = StreamEmitter()
     t = Turtle(sb, prof)
 
     margin = int(10 * STEPS_PER_MM)

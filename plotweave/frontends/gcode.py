@@ -16,7 +16,8 @@ import math
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
-from ..stream import MotionProfile, StreamBuilder, emit_polyline, travel_ramped
+from ..stream import MotionProfile
+from ..stream.emitter import StreamEmitter
 
 INCH_TO_MM = 25.4
 A4_W_MM = 210.0
@@ -194,7 +195,7 @@ def emit_stream(
 ) -> bytes:
     """Streams begin with pen_up + explicit initial speed + color select
     (unlike step 13; gcode2stream.py:399-423)."""
-    sb = StreamBuilder()
+    sb = StreamEmitter()
     if not paths:
         return sb.finish()
     sb.pen_up()
@@ -205,9 +206,9 @@ def emit_stream(
         if len(path) < 2:
             continue
         if pos != path[0]:
-            travel_ramped(sb, pos[0], pos[1], path[0][0], path[0][1], prof)
+            sb.travel(pos[0], pos[1], path[0][0], path[0][1], prof)
         sb.pen_down()
-        emit_polyline(sb, prof, path)
+        sb.polyline(path, prof)
         sb.pen_up()
         pos = path[-1]
     return sb.finish()

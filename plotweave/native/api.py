@@ -1,0 +1,142 @@
+"""High-level wrappers over the native library.
+
+``NativeStreamBuilder`` mirrors plotweave.stream.StreamBuilder's interface;
+``trace_skeleton_native`` mirrors plotweave.vector.trace.trace_skeleton.
+Both are drop-in and bit-identical (fuzz-tested against the Python paths).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..stream.encoder import MotionProfile
+from .loader import PwProfile, get_lib
+
+
+def to_pw_profile(p: MotionProfile) -> PwProfile:
+    return PwProfile(
+        div_start=int(p.div_start),
+        div_fast=int(p.div_fast),
+        profile_scurve=1 if p.profile == "scurve" else 0,
+        corner_deg=float(p.corner_deg),
+        corner_div=int(p.corner_div),
+        corner_window_steps=int(p.corner_window_steps),
+        short_len_steps=int(p.short_len_steps),
+        short_div=int(p.short_div),
+        travel_div_fast=int(p.travel_div_fast),
+        travel_start_div=int(p.travel_start_div),
+        travel_window_steps=int(p.travel_window_steps),
+        travel_quant_step=int(p.travel_quant_step),
+    )
+
+
+class NativeStreamBuilder:
+    """C++-backed stream writer (same interface as StreamBuilder plus
+    profile-aware polyline/travel emission)."""
+
+    def __init__(self):
+        self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._h = self._lib.pw_writer_new()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.pw_writer_free(self._h)
+            self._h = None
+
+    def pen_up(self):
+        self._lib.pw_pen_up(self._h)
+
+    def pen_down(self):
+        self._lib.pw_pen_down(self._h)
+
+    def tap(self):
+        self._lib.pw_tap(self._h)
+
+    def select_color(self, idx: int):
+        if not 0 <= int(idx) <= 7:
+            raise ValueError("color index must be 0..7")
+        self._lib.pw_color(self._h, int(idx))
+
+    def speed(self, divider: int):
+        self._lib.pw_set_speed(self._h, int(divider))
+
+    def polyline(self, pts: Sequence[Tuple[int, int]], prof: MotionProfile):
+        arr = np.ascontiguousarray(np.asarray(pts, dtype=np.int32).reshape(-1, 2))
+        if len(arr) < 2:
+            return
+        pp = to_pw_profile(prof)
+        self._lib.pw_polyline(
+            self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(arr), ctypes.byref(pp)
+        )
+
+    def travel(self, x0: int, y0: int, x1: int, y1: int, prof: MotionProfile):
+        pp = to_pw_profile(prof)
+        self._lib.pw_travel(self._h, int(x0), int(y0), int(x1), int(y1), ctypes.byref(pp))
+
+    def __len__(self) -> int:
+        return int(self._lib.pw_size(self._h))
+
+    def finish(self) -> bytes:
+        cap = len(self) + 1 + 1024
+        out = np.empty(cap, dtype=np.uint8)
+        n = self._lib.pw_finalize(self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n < 0:
+            raise RuntimeError("finalize capacity error")
+        return out[:n].tobytes()
+
+
+def trace_skeleton_native(
+    skel: np.ndarray, labeler=None
+) -> Optional[List[np.ndarray]]:
+    """Native centerline tracer; returns None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..vector.trace import default_labeler, degree_map  # noqa: PLC0415
+
+    s = skel > 0
+    if not s.any():
+        return []
+    num, labels = (labeler or default_labeler)(s)
+    deg = degree_map(s)
+
+    labels = np.ascontiguousarray(labels.astype(np.int32))
+    deg = np.ascontiguousarray(deg.astype(np.uint8))
+    h, w = labels.shape
+    fg = int(s.sum())
+    # cycle walks may legitimately revisit pixels (guarded at 4× per walk,
+    # reference semantics), so total output can far exceed fg: grow on demand
+    cap_pts = fg * 8 + 64
+    n = -1
+    for _ in range(6):
+        cap_paths = max(fg + 16, cap_pts // 2)
+        out_xy = np.empty((cap_pts, 2), dtype=np.int32)
+        out_lens = np.empty(cap_paths, dtype=np.int32)
+        n = lib.pw_trace(
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            deg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            h,
+            w,
+            int(num),
+            out_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cap_pts,
+            out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cap_paths,
+        )
+        if n >= 0:
+            break
+        cap_pts *= 4
+    if n < 0:
+        return None  # pathological: fall back to the Python tracer
+    paths: List[np.ndarray] = []
+    off = 0
+    for i in range(n):
+        ln = int(out_lens[i])
+        paths.append(out_xy[off : off + ln].copy().reshape(-1, 1, 2))
+        off += ln
+    return paths

@@ -1,0 +1,401 @@
+// plotweave native runtime: stream encoder + skeleton tracer.
+//
+// The byte-emission loop (Bresenham direction codes -> speed-ramp runs ->
+// packed step bytes) and the centerline walk are the host-side serial hot
+// loops of the pipeline (SURVEY hot loops #1 and #3); everything else runs
+// on the TPU.  Semantics are bit-identical to the Python implementations in
+// plotweave.stream.encoder / plotweave.vector.trace (cross-checked in tests);
+// Python-side `round()` banker's rounding is matched with nearbyint under
+// the default FE_TONEAREST mode.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <deque>
+
+extern "C" {
+
+// ---------------------------------------------------------------- profile
+
+struct PwProfile {
+    int32_t div_start;
+    int32_t div_fast;
+    int32_t profile_scurve;   // 0 = triangle, 1 = scurve
+    double  corner_deg;
+    int32_t corner_div;
+    int32_t corner_window_steps;
+    int32_t short_len_steps;
+    int32_t short_div;
+    int32_t travel_div_fast;
+    int32_t travel_start_div;
+    int32_t travel_window_steps;
+    int32_t travel_quant_step;
+};
+
+// ---------------------------------------------------------------- writer
+
+struct PwWriter {
+    std::vector<uint8_t> buf;
+    int cur_speed = -1;  // -1 = unset
+};
+
+void* pw_writer_new() { return new PwWriter(); }
+void pw_writer_free(void* w) { delete static_cast<PwWriter*>(w); }
+
+static inline void put_speed(PwWriter* w, int divider) {
+    if (w->cur_speed != divider) {
+        int d = divider > 63 ? 63 : (divider < 0 ? 0 : divider);
+        w->buf.push_back(0x40 | (d & 0x3F));
+        w->cur_speed = divider;
+    }
+}
+
+static inline void put_steps(PwWriter* w, const uint8_t* codes, size_t n) {
+    // pairing restarts per run: run boundary == byte boundary
+    size_t i = 0;
+    for (; i + 1 < n; i += 2)
+        w->buf.push_back(0xC0 | ((codes[i] & 7) << 3) | (codes[i + 1] & 7));
+    if (i < n) w->buf.push_back(0x80 | ((codes[i] & 7) << 3));
+}
+
+void pw_set_speed(void* w, int divider) { put_speed(static_cast<PwWriter*>(w), divider); }
+
+void pw_pen_up(void* w)   { static_cast<PwWriter*>(w)->buf.push_back(0x01); }
+void pw_pen_down(void* w) { static_cast<PwWriter*>(w)->buf.push_back(0x02); }
+void pw_tap(void* w)      { static_cast<PwWriter*>(w)->buf.push_back(0x03); }
+void pw_color(void* w, int idx) {
+    static_cast<PwWriter*>(w)->buf.push_back(0x08 | (idx & 0x07));
+}
+
+int64_t pw_size(void* w) { return (int64_t)static_cast<PwWriter*>(w)->buf.size(); }
+
+int64_t pw_finalize(void* wv, uint8_t* out, int64_t cap) {
+    PwWriter* w = static_cast<PwWriter*>(wv);
+    std::vector<uint8_t> data = w->buf;
+    data.push_back(0x3F);
+    size_t pad = (1024 - data.size() % 1024) % 1024;
+    data.insert(data.end(), pad, 0);
+    if ((int64_t)data.size() > cap) return -(int64_t)data.size();
+    std::memcpy(out, data.data(), data.size());
+    return (int64_t)data.size();
+}
+
+// ------------------------------------------------------------- bresenham
+
+static void dir_codes(int x0, int y0, int x1, int y1, std::vector<uint8_t>& out) {
+    int dx = std::abs(x1 - x0), dy = std::abs(y1 - y0);
+    int sx = x0 < x1 ? 1 : -1, sy = y0 < y1 ? 1 : -1;
+    long long err = dx - dy;
+    int x = x0, y = y0;
+    out.clear();
+    while (x != x1 || y != y1) {
+        long long e2 = 2 * err;
+        bool mx = false, my = false;
+        if (e2 > -dy) { err -= dy; x += sx; mx = true; }
+        if (e2 < dx)  { err += dx; y += sy; my = true; }
+        uint8_t c;
+        if (mx && my) c = sx > 0 ? (sy > 0 ? 1 : 3) : (sy > 0 ? 7 : 5);
+        else if (mx)  c = sx > 0 ? 2 : 6;
+        else          c = sy > 0 ? 0 : 4;
+        out.push_back(c);
+    }
+}
+
+// ----------------------------------------------------------------- ramps
+
+// counts per divider level indexed slow->fast (index 0 = div_slow)
+static void level_counts(int scurve, size_t length, int div_fast, int div_slow,
+                         std::vector<int64_t>& counts) {
+    int levels = div_slow - div_fast + 1;
+    counts.assign(levels, 0);
+    if (!scurve) {
+        int64_t base = (int64_t)length / levels, rem = (int64_t)length % levels;
+        for (int i = 0; i < levels; i++) counts[i] = base + (i < rem ? 1 : 0);
+    } else {
+        for (size_t i = 0; i < length; i++) {
+            double t = (i + 0.5) / (double)length;
+            double s = 3 * t * t - 2 * t * t * t;
+            long div = (long)std::nearbyint(div_slow - s * (div_slow - div_fast));
+            if (div < div_fast) div = div_fast;
+            if (div > div_slow) div = div_slow;
+            counts[div_slow - div] += 1;
+        }
+    }
+}
+
+static void emit_accel(PwWriter* w, const uint8_t* codes, size_t n,
+                       int scurve, int div_fast, int start_div) {
+    if (!n) return;
+    if (start_div <= div_fast) { put_speed(w, div_fast); put_steps(w, codes, n); return; }
+    std::vector<int64_t> counts;
+    level_counts(scurve, n, div_fast, start_div, counts);
+    size_t idx = 0;
+    for (size_t i = 0; i < counts.size(); i++) {       // slow -> fast
+        if (counts[i] > 0) {
+            put_speed(w, start_div - (int)i);
+            put_steps(w, codes + idx, (size_t)counts[i]);
+            idx += (size_t)counts[i];
+        }
+    }
+}
+
+static void emit_decel(PwWriter* w, const uint8_t* codes, size_t n,
+                       int scurve, int div_fast, int end_div) {
+    if (!n) return;
+    if (end_div <= div_fast) { put_speed(w, div_fast); put_steps(w, codes, n); return; }
+    std::vector<int64_t> counts;
+    level_counts(scurve, n, div_fast, end_div, counts);
+    size_t idx = 0;
+    for (int i = (int)counts.size() - 1; i >= 0; i--) {  // fast -> slow
+        if (counts[i] > 0) {
+            put_speed(w, end_div - i);
+            put_steps(w, codes + idx, (size_t)counts[i]);
+            idx += (size_t)counts[i];
+        }
+    }
+}
+
+// --------------------------------------------------------- draw segments
+
+static void emit_segment(PwWriter* w, const uint8_t* codes, size_t n,
+                         const PwProfile* p, bool slow_in, bool slow_out) {
+    if (!n) return;
+    if (!slow_in && !slow_out) {
+        put_speed(w, n <= (size_t)p->short_len_steps ? p->short_div : p->div_fast);
+        put_steps(w, codes, n);
+        return;
+    }
+    size_t entry = slow_in  ? std::min((size_t)p->corner_window_steps, n) : 0;
+    size_t exit_ = slow_out ? std::min((size_t)p->corner_window_steps, n - entry) : 0;
+
+    if (entry + exit_ >= n) {
+        size_t half = n / 2;
+        if (half > 0)
+            emit_accel(w, codes, half, p->profile_scurve, p->div_fast,
+                       slow_in ? p->corner_div : p->div_start);
+        if (n % 2 == 1) {
+            put_speed(w, p->div_fast);
+            put_steps(w, codes + half, 1);
+            half += 1;
+        }
+        if (n > half)
+            emit_decel(w, codes + half, n - half, p->profile_scurve, p->div_fast,
+                       slow_out ? p->corner_div : p->div_start);
+        return;
+    }
+    size_t mid = n - entry - exit_;
+    if (entry) emit_accel(w, codes, entry, p->profile_scurve, p->div_fast, p->corner_div);
+    if (mid)   { put_speed(w, p->div_fast); put_steps(w, codes + entry, mid); }
+    if (exit_) emit_decel(w, codes + n - exit_, exit_, p->profile_scurve, p->div_fast, p->corner_div);
+}
+
+static double vertex_angle(double ax, double ay, double bx, double by,
+                           double cx, double cy) {
+    double v1x = ax - bx, v1y = ay - by, v2x = cx - bx, v2y = cy - by;
+    double n1 = std::hypot(v1x, v1y), n2 = std::hypot(v2x, v2y);
+    if (n1 == 0 || n2 == 0) return 180.0;
+    double d = (v1x * v2x + v1y * v2y) / (n1 * n2);
+    if (d > 1.0) d = 1.0;
+    if (d < -1.0) d = -1.0;
+    return std::acos(d) * 180.0 / M_PI;
+}
+
+void pw_polyline(void* wv, const int32_t* xy, int64_t npts, const PwProfile* p) {
+    if (npts < 2) return;
+    PwWriter* w = static_cast<PwWriter*>(wv);
+    std::vector<uint8_t> codes;
+    for (int64_t i = 0; i < npts - 1; i++) {
+        double bx = xy[2 * i], by = xy[2 * i + 1];
+        double cx = xy[2 * i + 2], cy = xy[2 * i + 3];
+        bool slow_in = false;
+        if (i > 0) {
+            double axp = xy[2 * i - 2], ayp = xy[2 * i - 1];
+            slow_in = vertex_angle(axp, ayp, bx, by, cx, cy) < p->corner_deg;
+        }
+        bool slow_out = false;
+        if (i + 2 < npts) {
+            double dxn = xy[2 * i + 4], dyn = xy[2 * i + 5];
+            slow_out = vertex_angle(bx, by, cx, cy, dxn, dyn) < p->corner_deg;
+        }
+        dir_codes((int)bx, (int)by, (int)cx, (int)cy, codes);
+        emit_segment(w, codes.data(), codes.size(), p, slow_in, slow_out);
+    }
+}
+
+// ---------------------------------------------------------------- travel
+
+void pw_travel(void* wv, int x0, int y0, int x1, int y1, const PwProfile* p) {
+    PwWriter* w = static_cast<PwWriter*>(wv);
+    std::vector<uint8_t> codes;
+    dir_codes(x0, y0, x1, y1, codes);
+    size_t n = codes.size();
+    if (!n) return;
+
+    int win = p->travel_window_steps;
+    int div_fast = p->travel_div_fast;
+    int div_start = p->travel_start_div < div_fast ? div_fast : p->travel_start_div;
+
+    if (n <= (size_t)(2 * win)) {
+        size_t half = n / 2 > 0 ? n / 2 : 1;
+        emit_accel(w, codes.data(), std::min(half, n), p->profile_scurve, div_fast, div_start);
+        if (n % 2 == 1) {
+            put_speed(w, div_fast);
+            if (half < n) put_steps(w, codes.data() + half, 1);
+            half += 1;
+        }
+        if (n > half)
+            emit_decel(w, codes.data() + half, n - half, p->profile_scurve, div_fast, div_start);
+        return;
+    }
+
+    int qstep = p->travel_quant_step > 0 ? p->travel_quant_step : 1;
+    std::vector<int> levels;
+    for (int d = div_start; d >= div_fast; d -= qstep) levels.push_back(d);
+    if (levels.back() != div_fast) levels.push_back(div_fast);
+
+    auto even_runs = [&](const uint8_t* c, size_t len, bool reversed_levels) {
+        size_t L = levels.size();
+        size_t base = len / L, rem = len % L, idx = 0;
+        for (size_t i = 0; i < L; i++) {
+            size_t cnt = base + (i < rem ? 1 : 0);
+            if (!cnt) continue;
+            int div = reversed_levels ? levels[L - 1 - i] : levels[i];
+            put_speed(w, div);
+            put_steps(w, c + idx, cnt);
+            idx += cnt;
+        }
+    };
+    even_runs(codes.data(), (size_t)win, false);                  // accel slow->fast
+    size_t cruise = n - 2 * (size_t)win;
+    if (cruise) { put_speed(w, div_fast); put_steps(w, codes.data() + win, cruise); }
+    even_runs(codes.data() + n - win, (size_t)win, true);         // decel fast->slow
+}
+
+// -------------------------------------------------------- skeleton tracer
+
+// Walk a labeled 1-px skeleton into polylines, reproducing the Python
+// tracer's traversal exactly (probe order, endpoint-first then cycles).
+// Outputs (x,y) pairs into out_xy with per-path lengths in out_lens.
+// Returns number of paths, or -1 if capacity exceeded.
+int64_t pw_trace(const int32_t* labels, const uint8_t* degree,
+                 int h, int w, int ncomp,
+                 int32_t* out_xy, int64_t cap_pts,
+                 int32_t* out_lens, int64_t cap_paths) {
+    static const int PDX[8] = {-1, 0, 1, -1, 1, -1, 0, 1};
+    static const int PDY[8] = {-1, -1, -1, 0, 0, 1, 1, 1};
+
+    // visited is stamped with the component id (no per-component clears);
+    // component pixel lists are bucketed in one raster pass.
+    std::vector<int32_t> visited((size_t)h * w, 0);
+    std::vector<std::vector<int>> comp_pix(ncomp);
+    for (int i = 0; i < h * w; i++)
+        if (labels[i] > 0 && labels[i] < ncomp) comp_pix[labels[i]].push_back(i);
+
+    int64_t npaths = 0, npts = 0;
+
+    for (int comp = 1; comp < ncomp; comp++) {
+        const std::vector<int>& pix = comp_pix[comp];
+        if (pix.empty()) continue;
+        long long fg = (long long)pix.size();
+
+        auto in_comp = [&](int x, int y) {
+            return x >= 0 && x < w && y >= 0 && y < h && labels[y * w + x] == comp;
+        };
+        auto first_step = [&](int px, int py, int prevx, int prevy, bool has_prev,
+                              int& nx, int& ny) -> bool {
+            for (int k = 0; k < 8; k++) {
+                int qx = px + PDX[k], qy = py + PDY[k];
+                if (in_comp(qx, qy) && !(has_prev && qx == prevx && qy == prevy)
+                    && visited[qy * w + qx] != comp) { nx = qx; ny = qy; return true; }
+            }
+            return false;
+        };
+        auto any_step = [&](int px, int py, int prevx, int prevy, bool has_prev,
+                            int& nx, int& ny) -> bool {
+            for (int k = 0; k < 8; k++) {
+                int qx = px + PDX[k], qy = py + PDY[k];
+                if (in_comp(qx, qy) && !(has_prev && qx == prevx && qy == prevy)) {
+                    nx = qx; ny = qy; return true;
+                }
+            }
+            return false;
+        };
+
+        // phase 1: endpoint walks (degree == 1), raster order
+        for (size_t pi = 0; pi < pix.size(); pi++) {
+            int i = pix[pi];
+            if (degree[i] != 1 || visited[i] == comp) continue;
+            int px = i % w, py = i / w;
+            int64_t start_pts = npts;
+            if (npts + 1 > cap_pts) return -1;
+            out_xy[2 * npts] = px; out_xy[2 * npts + 1] = py; npts++;
+            visited[i] = comp;
+            int prevx = 0, prevy = 0; bool has_prev = false;
+            while (true) {
+                int nx, ny;
+                if (!first_step(px, py, prevx, prevy, has_prev, nx, ny)) break;
+                if (npts + 1 > cap_pts) return -1;
+                out_xy[2 * npts] = nx; out_xy[2 * npts + 1] = ny; npts++;
+                visited[ny * w + nx] = comp;
+                prevx = px; prevy = py; has_prev = true;
+                px = nx; py = ny;
+                uint8_t d = degree[py * w + px];
+                if (d >= 3 || d == 1) break;
+            }
+            int64_t len = npts - start_pts;
+            if (len >= 2) {
+                if (npaths + 1 > cap_paths) return -1;
+                out_lens[npaths++] = (int32_t)len;
+            } else {
+                npts = start_pts;  // discard single points
+            }
+        }
+
+        // phase 2: leftover cycles, raster order
+        for (size_t pi = 0; pi < pix.size(); pi++) {
+            int i = pix[pi];
+            if (visited[i] == comp) continue;
+            int sx = i % w, sy = i / w;
+            int px = sx, py = sy;
+            int64_t start_pts = npts;
+            if (npts + 1 > cap_pts) return -1;
+            out_xy[2 * npts] = px; out_xy[2 * npts + 1] = py; npts++;
+            visited[i] = comp;
+            int prevx = 0, prevy = 0; bool has_prev = false;
+            long long guard = 0;
+            while (true) {
+                int nx, ny;
+                if (!first_step(px, py, prevx, prevy, has_prev, nx, ny)) {
+                    if (!any_step(px, py, prevx, prevy, has_prev, nx, ny)) break;
+                }
+                if (npts + 1 > cap_pts) return -1;
+                out_xy[2 * npts] = nx; out_xy[2 * npts + 1] = ny; npts++;
+                if (visited[ny * w + nx] != comp) visited[ny * w + nx] = comp;
+                prevx = px; prevy = py; has_prev = true;
+                px = nx; py = ny;
+                if (px == sx && py == sy) break;
+                if (++guard > fg * 4) break;
+            }
+            int64_t len = npts - start_pts;
+            if (len >= 2) {
+                // close the loop if endpoints meet within 1.5 px
+                double ddx = out_xy[2 * start_pts] - out_xy[2 * (npts - 1)];
+                double ddy = out_xy[2 * start_pts + 1] - out_xy[2 * (npts - 1) + 1];
+                if (std::hypot(ddx, ddy) < 1.5) {
+                    if (npts + 1 > cap_pts) return -1;
+                    out_xy[2 * npts] = out_xy[2 * start_pts];
+                    out_xy[2 * npts + 1] = out_xy[2 * start_pts + 1];
+                    npts++; len++;
+                }
+                if (npaths + 1 > cap_paths) return -1;
+                out_lens[npaths++] = (int32_t)len;
+            } else {
+                npts = start_pts;
+            }
+        }
+    }
+    return npaths;
+}
+
+}  // extern "C"

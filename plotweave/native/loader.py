@@ -1,0 +1,104 @@
+"""Build + load the native library via ctypes."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "encoder.cpp")
+_LIB = os.path.join(_HERE, "_libplotweave.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+class PwProfile(ctypes.Structure):
+    _fields_ = [
+        ("div_start", ctypes.c_int32),
+        ("div_fast", ctypes.c_int32),
+        ("profile_scurve", ctypes.c_int32),
+        ("corner_deg", ctypes.c_double),
+        ("corner_div", ctypes.c_int32),
+        ("corner_window_steps", ctypes.c_int32),
+        ("short_len_steps", ctypes.c_int32),
+        ("short_div", ctypes.c_int32),
+        ("travel_div_fast", ctypes.c_int32),
+        ("travel_start_div", ctypes.c_int32),
+        ("travel_window_steps", ctypes.c_int32),
+        ("travel_quant_step", ctypes.c_int32),
+    ]
+
+
+def _build() -> bool:
+    try:
+        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+            return True
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB + ".tmp", _SRC]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(_LIB + ".tmp", _LIB)
+        return True
+    except (OSError, subprocess.SubprocessError) as e:
+        print(f"[plotweave.native] build failed, using Python fallback: {e}", file=sys.stderr)
+        return False
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.pw_writer_new.restype = ctypes.c_void_p
+    lib.pw_writer_free.argtypes = [ctypes.c_void_p]
+    for f in ("pw_pen_up", "pw_pen_down", "pw_tap"):
+        getattr(lib, f).argtypes = [ctypes.c_void_p]
+    lib.pw_color.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.pw_set_speed.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.pw_size.argtypes = [ctypes.c_void_p]
+    lib.pw_size.restype = ctypes.c_int64
+    lib.pw_finalize.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.pw_finalize.restype = ctypes.c_int64
+    lib.pw_polyline.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(PwProfile),
+    ]
+    lib.pw_travel.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(PwProfile),
+    ]
+    lib.pw_trace.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
+    lib.pw_trace.restype = ctypes.c_int64
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is None and not _tried:
+        _tried = True
+        if os.environ.get("PLOTWEAVE_NO_NATIVE"):
+            return None
+        if _build():
+            try:
+                _lib = _bind(ctypes.CDLL(_LIB))
+            except OSError as e:
+                print(f"[plotweave.native] load failed: {e}", file=sys.stderr)
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None

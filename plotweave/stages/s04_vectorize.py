@@ -18,7 +18,7 @@ import numpy as np
 from ..config import PipelineConfig
 from ..ops.thinning import zhang_suen
 from ..utils import read_image, save_pickle
-from ..vector.trace import trace_skeleton
+from ..vector.trace import trace_skeleton_fast
 from .common import layer_dir
 
 
@@ -43,7 +43,7 @@ def run(cfg: PipelineConfig) -> None:
     min_len = int(cfg.thinning_min_segment_len)
     for name, skel in zip(names, skeletons):
         t1 = time.perf_counter()
-        paths = trace_skeleton(skel.astype(np.uint8) * 255)
+        paths = trace_skeleton_fast(skel.astype(np.uint8) * 255)
         paths = [p for p in paths if len(p) >= min_len]
         out = os.path.join(layer_dir(cfg, name), "contours.pkl")
         save_pickle(paths, out)

@@ -17,7 +17,8 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from ..config import PipelineConfig
-from ..stream import MotionProfile, StreamBuilder, emit_polyline, travel_ramped
+from ..stream import MotionProfile
+from ..stream.emitter import StreamEmitter
 from ..utils import load_json, load_pickle, save_json
 from .common import target_size_px
 
@@ -83,7 +84,7 @@ def pick_color(name: str, orig: int, ordinal: int, force, by_name, by_order) -> 
 
 
 def emit_layer(
-    sb: StreamBuilder,
+    sb: StreamEmitter,
     ops: List[Dict[str, Any]],
     color_idx: int,
     W: int,
@@ -101,7 +102,7 @@ def emit_layer(
             q = np.asarray(first["points"]).reshape(-1, 2).astype(np.float64)
             target = to_steps(q[0, 0], q[0, 1], W, H)
         if pos != target:
-            travel_ramped(sb, pos[0], pos[1], target[0], target[1], prof)
+            sb.travel(pos[0], pos[1], target[0], target[1], prof)
             pos = target
 
     sb.select_color(color_idx)
@@ -111,7 +112,7 @@ def emit_layer(
             t = to_steps(op["x"], op["y"], W, H)
             if pos != t:
                 sb.pen_up()
-                travel_ramped(sb, pos[0], pos[1], t[0], t[1], prof)
+                sb.travel(pos[0], pos[1], t[0], t[1], prof)
                 pos = t
             sb.tap()
             continue
@@ -122,11 +123,11 @@ def emit_layer(
         start = to_steps(pts[0, 0], pts[0, 1], W, H)
         if pos != start:
             sb.pen_up()
-            travel_ramped(sb, pos[0], pos[1], start[0], start[1], prof)
+            sb.travel(pos[0], pos[1], start[0], start[1], prof)
             pos = start
         sb.pen_down()
         steps = [to_steps(x, y, W, H) for x, y in pts]
-        emit_polyline(sb, prof, steps)
+        sb.polyline(steps, prof)
         sb.pen_up()
         pos = steps[-1]
 
@@ -149,7 +150,7 @@ def build_stream(cfg: PipelineConfig) -> bytes:
 
     force, by_name, by_order = resolve_color_maps(cfg)
 
-    sb = StreamBuilder()
+    sb = StreamEmitter()
     sb.pen_up()
     pos = (0, 0)
     total_lines = total_taps = 0

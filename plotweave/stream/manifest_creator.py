@@ -19,7 +19,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .encoder import MotionProfile, StreamBuilder, emit_polyline, travel_ramped
+from .emitter import StreamEmitter
+from .encoder import MotionProfile
 
 
 @dataclass
@@ -64,7 +65,7 @@ def load_layers(manifest_path: Path, invert_y: bool, w: int, h: int) -> List[Lay
 
 
 def build(manifest_path: Path, output: Path, w: int, h: int, prof: MotionProfile) -> bytes:
-    sb = StreamBuilder()
+    sb = StreamEmitter()
     sb.pen_up()
     sb.speed(prof.div_start)  # explicit initial speed (creator:126)
 
@@ -78,7 +79,7 @@ def build(manifest_path: Path, output: Path, w: int, h: int, prof: MotionProfile
         elif L.taps:
             first = L.taps[0]
         if first and pos != first:
-            travel_ramped(sb, pos[0], pos[1], first[0], first[1], prof)
+            sb.travel(pos[0], pos[1], first[0], first[1], prof)
             pos = first
         sb.select_color(L.color_index)
 
@@ -86,18 +87,18 @@ def build(manifest_path: Path, output: Path, w: int, h: int, prof: MotionProfile
             start = (int(cs[0, 0]), int(cs[0, 1]))
             if pos != start:
                 sb.pen_up()
-                travel_ramped(sb, pos[0], pos[1], start[0], start[1], prof)
+                sb.travel(pos[0], pos[1], start[0], start[1], prof)
                 pos = start
             sb.pen_down()
             pts = [(int(x), int(y)) for x, y in cs]
-            emit_polyline(sb, prof, pts)
+            sb.polyline(pts, prof)
             sb.pen_up()
             pos = pts[-1]
 
         for t in L.taps:
             if pos != t:
                 sb.pen_up()
-                travel_ramped(sb, pos[0], pos[1], t[0], t[1], prof)
+                sb.travel(pos[0], pos[1], t[0], t[1], prof)
                 pos = t
             sb.tap()
 

@@ -223,9 +223,22 @@ def trace_skeleton(skel: np.ndarray, labeler=None) -> List[np.ndarray]:
     return paths
 
 
+def trace_skeleton_fast(skel: np.ndarray, labeler=None) -> List[np.ndarray]:
+    """Native C++ tracer when available (identical output), Python otherwise."""
+    try:
+        from ..native.api import trace_skeleton_native  # noqa: PLC0415
+
+        paths = trace_skeleton_native(skel, labeler)
+        if paths is not None:
+            return paths
+    except (OSError, RuntimeError):
+        pass
+    return trace_skeleton(skel, labeler)
+
+
 def vectorize(edges: np.ndarray, skeletonize, min_len: int = 5) -> List[np.ndarray]:
     """edges → skeleton → traced polylines, dropping paths shorter than
     ``min_len`` vertices (reference 04:224)."""
     skel = np.asarray(skeletonize(edges))
-    paths = trace_skeleton(skel)
+    paths = trace_skeleton_fast(skel)
     return [p for p in paths if len(p) >= min_len]
