@@ -12,7 +12,6 @@ duplicate step points are dropped (gcode2stream.py:79-110,317-339).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 

@@ -33,6 +33,7 @@ from .thinning import zhang_suen
         "low",
         "high",
         "thin_iters",
+        "pallas_thinning",
     ),
 )
 def raster_frontend(
@@ -47,6 +48,7 @@ def raster_frontend(
     low: int = 22,
     high: int = 70,
     thin_iters: int = 120,
+    pallas_thinning: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (edges (..., k, H, W) uint8, skeletons (..., k, H, W) int32)."""
     lab = bgr_to_lab_u8(image)  # (...,H,W,3) f32
@@ -66,5 +68,10 @@ def raster_frontend(
     masks = _morph(masks, "ellipse", edge_kernel, edge_iters, "ed")
     masks = _morph(masks, "ellipse", edge_kernel, edge_iters, "de")
     edges = canny(gaussian_blur_u8(masks, blur_kernel), low, high)
-    skel = zhang_suen(edges, max_iter=thin_iters, rotated=True)
+    if pallas_thinning:
+        from .pallas_kernels import zhang_suen_pallas  # noqa: PLC0415
+
+        skel = zhang_suen_pallas(edges, max_iter=thin_iters, rotated=True)
+    else:
+        skel = zhang_suen(edges, max_iter=thin_iters, rotated=True)
     return edges, skel

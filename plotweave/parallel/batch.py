@@ -7,8 +7,6 @@ final gather (BASELINE config 4: batch of 64 mixed images).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map

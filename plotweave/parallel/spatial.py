@@ -14,8 +14,6 @@ border mode on the edge shards).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

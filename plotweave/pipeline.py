@@ -16,7 +16,7 @@ import json
 import os
 import sys
 import time
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Tuple
 
 from .config import PipelineConfig, load_config, save_config
 
