@@ -39,7 +39,84 @@ def synth_image(h=1500, w=2000, seed=0):
     return img
 
 
+def bench_e2e() -> None:
+    """Secondary benchmark (--e2e): full image→stream pipeline Mpx/s.
+
+    Baseline measured on this host: the reference pipeline (steps 1–13,
+    subprocess-per-step, single-core cv2) on the same 1024×768 4-color image:
+    189.5 s → 0.0042 Mpx/s.  plotweave measured warm 11.3 s (16.8×); a fresh
+    process with the persistent compile cache runs ~23 s.
+    """
+    import json as _json
+    import shutil
+    import tempfile
+    import cv2
+
+    import plotweave  # noqa: F401 — enables the compilation cache
+    from plotweave.config import load_config
+    from plotweave.pipeline import run_pipeline
+
+    ref_mpx_s = 0.0042
+    rng = np.random.default_rng(7)
+    H, W = 768, 1024
+    img = np.zeros((H, W, 3), np.uint8)
+    img[:, :] = (230, 220, 210)
+    colors = [(20, 20, 20), (90, 90, 200), (140, 180, 220), (230, 220, 210)]
+    for _ in range(60):
+        c = colors[int(rng.integers(0, 4))]
+        x, y = int(rng.integers(0, W)), int(rng.integers(0, H))
+        r = int(rng.integers(15, 90))
+        if rng.random() < 0.5:
+            cv2.circle(img, (x, y), r, c, -1)
+        else:
+            cv2.rectangle(img, (x, y), (x + r, y + r), c, -1)
+
+    base = tempfile.mkdtemp(prefix="pw_bench_")
+    cv2.imwrite(f"{base}/img.png", img)
+
+    def one_run(tag):
+        out = f"{base}/{tag}"
+        cfg_d = {
+            "input_image": f"{base}/img.png", "output_dir": out,
+            "colors": [list(c) for c in colors],
+            "color_names": ["layer_dark", "layer_mid", "layer_skin", "layer_light"],
+            "edge_low_threshold": 22, "edge_high_threshold": 70, "edge_kernel_size": 7,
+            "target_width_mm": 210, "target_height_mm": 297, "pixels_per_mm": 4,
+            "pen_width_px": 12, "pen_radius_px": 6,
+        }
+        import os
+
+        os.makedirs(out, exist_ok=True)
+        with open(f"{out}/config.json", "w") as f:
+            _json.dump(cfg_d, f)
+        cfg = load_config(f"{out}/config.json")
+        t0 = time.perf_counter()
+        run_pipeline(cfg, 1, 13)
+        return time.perf_counter() - t0
+
+    one_run("warmup")  # compile (fills the persistent cache)
+    dt = one_run("timed")
+    shutil.rmtree(base, ignore_errors=True)
+    value = (H * W / 1e6) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_image_to_stream_megapixels_per_sec",
+                "value": round(value, 4),
+                "unit": "Mpx/s",
+                "vs_baseline": round(value / ref_mpx_s, 2),
+            }
+        )
+    )
+
+
 def main() -> None:
+    import sys
+
+    if "--e2e" in sys.argv:
+        bench_e2e()
+        return
+
     import jax
 
     from plotweave.ops.frontend import raster_frontend

@@ -20,3 +20,29 @@ Layering (see SURVEY.md for the reference layer map this mirrors):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the axon TPU compiler takes minutes on the
+# fused stencil programs; caching cuts cold pipeline runs to warm-run speed.
+import os as _os  # noqa: E402
+
+
+def _enable_compilation_cache() -> None:
+    if _os.environ.get("PLOTWEAVE_NO_JAX_CACHE"):
+        return
+    path = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.expanduser(
+        "~/.cache/plotweave/jax"
+    )
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+    try:
+        _os.makedirs(path, exist_ok=True)
+        import sys as _sys
+
+        if "jax" in _sys.modules:  # jax already imported: set via config
+            import jax as _jax
+
+            _jax.config.update("jax_compilation_cache_dir", path)
+    except (OSError, Exception):  # noqa: BLE001 — cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

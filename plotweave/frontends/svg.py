@@ -342,6 +342,45 @@ def svg_to_polylines(svg_text: str, samples_per_unit: float = 0.5) -> List[np.nd
     return out
 
 
+def svg_viewbox(svg_text: str) -> Optional[tuple]:
+    """(x, y, w, h) from the root viewBox, else from width/height, else None."""
+    root = ET.fromstring(svg_text)
+    vb = root.get("viewBox") or root.get("viewbox")
+    if vb:
+        parts = vb.replace(",", " ").split()
+        if len(parts) == 4:
+            try:
+                x, y, w, h = (float(p) for p in parts)
+                return (x, y, w, h)
+            except ValueError:
+                pass
+    num = re.compile(r"^([+-]?\d*\.?\d+(?:[eE][+-]?\d+)?)")
+    try:
+        w = float(num.match(root.get("width", "")).group(1))
+        h = float(num.match(root.get("height", "")).group(1))
+        return (0.0, 0.0, w, h)
+    except (AttributeError, ValueError, TypeError):
+        return None
+
+
+def fit_viewbox_to_page(
+    polylines: List[np.ndarray],
+    viewbox: tuple,
+    page_w_mm: float = 210.0,
+    page_h_mm: float = 297.0,
+    margin_mm: float = 10.0,
+) -> List[np.ndarray]:
+    """Scale from the document's declared frame (viewBox) rather than the
+    content bbox — the reference's alternative fit strategy
+    (svg_to_stream/svg2gcode_.py:54-98,280-304).  Content outside the viewBox
+    scales along with it."""
+    vx, vy, vw, vh = viewbox
+    avail_w = max(1e-6, page_w_mm - 2 * margin_mm)
+    avail_h = max(1e-6, page_h_mm - 2 * margin_mm)
+    s = min(avail_w / max(vw, 1e-9), avail_h / max(vh, 1e-9))
+    return [(p - np.array([vx, vy])) * s + margin_mm for p in polylines]
+
+
 def fit_to_page(
     polylines: List[np.ndarray],
     page_w_mm: float = 210.0,

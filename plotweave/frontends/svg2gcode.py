@@ -7,7 +7,7 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-from .svg import fit_to_page, polylines_to_gcode, svg_to_polylines
+from .svg import fit_to_page, fit_viewbox_to_page, polylines_to_gcode, svg_to_polylines, svg_viewbox
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -20,6 +20,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--samples-per-unit", type=float, default=0.5,
                     help="curve sampling density in points per SVG user unit")
     ap.add_argument("--no-fit", action="store_true", help="keep raw SVG coordinates")
+    ap.add_argument(
+        "--fit-mode",
+        choices=["bbox", "viewbox"],
+        default="bbox",
+        help="fit by content bounding box (default) or by the document viewBox frame",
+    )
     return ap
 
 
@@ -30,10 +36,15 @@ def convert(
     margin: float = 10.0,
     samples_per_unit: float = 0.5,
     fit: bool = True,
+    fit_mode: str = "bbox",
 ) -> str:
     polys = svg_to_polylines(svg_text, samples_per_unit)
     if fit:
-        polys = fit_to_page(polys, page_w, page_h, margin)
+        vb = svg_viewbox(svg_text) if fit_mode == "viewbox" else None
+        if fit_mode == "viewbox" and vb is not None:
+            polys = fit_viewbox_to_page(polys, vb, page_w, page_h, margin)
+        else:
+            polys = fit_to_page(polys, page_w, page_h, margin)
     return polylines_to_gcode(polys)
 
 
@@ -47,6 +58,7 @@ def main(argv=None) -> None:
         args.margin_mm,
         args.samples_per_unit,
         fit=not args.no_fit,
+        fit_mode=args.fit_mode,
     )
     Path(args.output).write_text(gcode, encoding="utf-8")
     n_paths = gcode.count("M3")

@@ -117,6 +117,10 @@ def virtual_draw_cut(
     samples = resample_arclen(p, step=max(1.0, float(sample_step)))
     if len(samples) < 2:
         return []
+    # scalar Python floats throughout the loop: math.sqrt(dx*dx+dy*dy) on
+    # doubles is bit-identical to np.linalg.norm on a float64 2-vector, and
+    # avoids ~20 numpy-scalar allocations per sample (the loop's former cost)
+    pts = [(float(x), float(y)) for x, y in samples]
 
     grid = PointGrid(radius=grid_radius, cell=grid_cell)
     tail: deque[Tuple[float, float]] = deque()
@@ -125,6 +129,8 @@ def virtual_draw_cut(
     frags: List[np.ndarray] = []
     cur: List[Tuple[float, float]] = []
     last_committed: Optional[Tuple[int, int]] = None
+    sqrt = math.sqrt
+    canvas_get = canvas.item
 
     def commit(xy: Tuple[float, float]) -> None:
         nonlocal last_committed
@@ -140,25 +146,30 @@ def virtual_draw_cut(
             old = tail.popleft()
             grid.add(old[0], old[1])
             if tail:
-                tail_len -= float(np.linalg.norm(np.array(tail[0]) - np.array(old)))
+                nxt = tail[0]
+                dx = nxt[0] - old[0]
+                dy = nxt[1] - old[1]
+                tail_len -= sqrt(dx * dx + dy * dy)
             else:
                 tail_len = 0.0
             commit(old)
 
-    for x, y in samples:
-        xy = (float(x), float(y))
+    for xy in pts:
         if tail:
-            tail_len += float(np.linalg.norm(np.array(xy) - np.array(tail[-1])))
+            prev = tail[-1]
+            dx = xy[0] - prev[0]
+            dy = xy[1] - prev[1]
+            tail_len += sqrt(dx * dx + dy * dy)
         tail.append(xy)
         age_out()
 
-        xi, yi = int(round(x)), int(round(y))
+        xi, yi = int(round(xy[0])), int(round(xy[1]))
         if not (0 <= xi < w and 0 <= yi < h):
             if len(cur) >= 2:
                 frags.append(np.array(cur, np.int32).reshape(-1, 1, 2))
             cur = []
             continue
-        if canvas[yi, xi] == 255 or grid.near(float(x), float(y)):
+        if canvas_get(yi, xi) == 255 or grid.near(xy[0], xy[1]):
             if len(cur) >= 2:
                 frags.append(np.array(cur, np.int32).reshape(-1, 1, 2))
             cur = []
