@@ -118,6 +118,8 @@ class PipelineConfig:
 
     # ---- plot-order optimization (step 12) ----
     plotopt_tap_insert_radius_px: Optional[float] = None  # default: max(80, pen_width_px)
+    plotopt_two_opt: bool = False  # refine the greedy tour (plotweave extension;
+    # changes op order only — off by default to preserve reference byte-equality)
 
     # ---- stream build (step 13) ----
     steps_per_mm: int = 40  # plotter step density (stage-14 canvas sizing)

@@ -114,3 +114,25 @@ def export_combined_svg(
     with open(out_path, "w", encoding="utf-8") as f:
         f.write(svg)
     return out_path
+
+
+def main(argv=None) -> None:
+    """CLI: print the per-stage stats table for a pipeline output directory."""
+    import argparse
+
+    from ..config import load_config
+
+    ap = argparse.ArgumentParser(description="Per-stage artifact statistics")
+    ap.add_argument("output_dir")
+    ap.add_argument("--svg", help="also export the combined SVG to this path")
+    args = ap.parse_args(argv)
+    cfg = load_config(f"{args.output_dir}/config.json")
+    cfg.output_dir = args.output_dir
+    print_stage_table(cfg)
+    if args.svg:
+        export_combined_svg(cfg, args.svg)
+        print(f"combined SVG: {args.svg}")
+
+
+if __name__ == "__main__":
+    main()

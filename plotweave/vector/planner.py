@@ -116,6 +116,58 @@ def layer_color_index(name: str) -> int:
     return 0
 
 
+def two_opt_refine(ops: List[Op], max_passes: int = 10) -> List[Op]:
+    """Optional travel-tour improvement over the greedy plan (the reference
+    has no refinement pass; BASELINE names 2-opt as the target improvement).
+
+    Treats each op as a node with entry/exit points; repeatedly applies the
+    best segment reversal (classic 2-opt on the pen-up travel graph, with
+    line ops allowed to flip) until no pass improves.  Only the ORDER and
+    orientations change — pen-down geometry is untouched, so the drawing is
+    identical while pen-up travel shrinks below the reference's greedy tour.
+    """
+    if len(ops) < 3:
+        return ops
+
+    def entry(op: Op) -> Tuple[float, float]:
+        if op["type"] == "tap":
+            return (float(op["x"]), float(op["y"]))
+        p = op["points"]
+        return (float(p[0, 0]), float(p[0, 1]))
+
+    def exit_(op: Op) -> Tuple[float, float]:
+        if op["type"] == "tap":
+            return (float(op["x"]), float(op["y"]))
+        p = op["points"]
+        return (float(p[-1, 0]), float(p[-1, 1]))
+
+    def flip(op: Op) -> Op:
+        if op["type"] == "tap":
+            return op
+        return {"type": "line", "points": op["points"][::-1].copy()}
+
+    cur = list(ops)
+    for _ in range(max_passes):
+        improved = False
+        n = len(cur)
+        for i in range(n - 1):
+            prev_pt = (0.0, 0.0) if i == 0 else exit_(cur[i - 1])
+            for j in range(i + 1, n):
+                nxt = entry(cur[j + 1]) if j + 1 < n else None
+                # current cost of the two travel edges around segment [i, j]
+                d_now = _d(prev_pt, entry(cur[i]))
+                d_new = _d(prev_pt, exit_(cur[j]))
+                if nxt is not None:
+                    d_now += _d(exit_(cur[j]), nxt)
+                    d_new += _d(entry(cur[i]), nxt)
+                if d_new + 1e-9 < d_now:
+                    cur[i : j + 1] = [flip(o) for o in reversed(cur[i : j + 1])]
+                    improved = True
+        if not improved:
+            break
+    return cur
+
+
 def tour_length(ops: List[Op], start: Tuple[float, float] = (0.0, 0.0)) -> float:
     """Total pen-up travel distance of an op list (benchmark metric)."""
     pos = start
