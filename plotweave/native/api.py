@@ -140,3 +140,112 @@ def trace_skeleton_native(
         paths.append(out_xy[off : off + ln].copy().reshape(-1, 1, 2))
         off += ln
     return paths
+
+
+class LineStampTable:
+    """Span table of cv2 thick-line rasterizations for every integer delta in
+    [-R..R]²: cv2 thick lines are translation-invariant, so the native loop
+    can stamp by translating pre-rendered spans — bit-identical to cv2.line.
+    """
+
+    def __init__(self, thickness: int, R: int):
+        import cv2  # noqa: PLC0415
+
+        self.thickness = int(thickness)
+        self.R = int(R)
+        side = 2 * R + 1
+        m = R + thickness + 4
+        rows, x0s, x1s = [], [], []
+        start = np.zeros(side * side, np.int64)
+        count = np.zeros(side * side, np.int32)
+        scratch = np.zeros((2 * m + 1, 2 * m + 1), np.uint8)
+        for dy in range(-R, R + 1):
+            for dx in range(-R, R + 1):
+                scratch[:] = 0
+                cv2.line(scratch, (m, m), (m + dx, m + dy), 255,
+                         thickness=self.thickness, lineType=cv2.LINE_8)
+                key = (dy + R) * side + (dx + R)
+                start[key] = len(rows)
+                ys, xs = np.nonzero(scratch)
+                if len(ys):
+                    # exact run-length spans per row (cv2 thick lines are NOT
+                    # always row-convex: the round end caps can leave in-row
+                    # gaps to the body quad, so each contiguous run is kept)
+                    order = np.lexsort((xs, ys))
+                    ys, xs = ys[order], xs[order]
+                    brk = np.nonzero((np.diff(ys) != 0) | (np.diff(xs) != 1))[0]
+                    starts_i = np.concatenate([[0], brk + 1])
+                    ends_i = np.concatenate([brk, [len(ys) - 1]])
+                    for a, b in zip(starts_i, ends_i):
+                        rows.append(int(ys[a]) - m)
+                        x0s.append(int(xs[a]) - m)
+                        x1s.append(int(xs[b]) - m)
+                count[key] = len(rows) - start[key]
+        self.span_start = np.ascontiguousarray(start)
+        self.span_count = np.ascontiguousarray(count)
+        self.span_row = np.ascontiguousarray(np.asarray(rows, np.int32))
+        self.span_x0 = np.ascontiguousarray(np.asarray(x0s, np.int32))
+        self.span_x1 = np.ascontiguousarray(np.asarray(x1s, np.int32))
+
+
+_STAMP_CACHE: dict = {}
+
+
+def virtual_draw_native(samples, canvas, grid_radius, grid_cell, tail_len_px, brush, max_delta):
+    """Native stage-08 virtual draw.  Returns list of fragments, or None when
+    the native path cannot run exactly (library unavailable, samples leave
+    the canvas, or a stamp delta outside the table)."""
+    from .loader import bind_virtual_draw  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    bind_virtual_draw(lib)
+
+    h, w = canvas.shape
+    sx = np.ascontiguousarray(samples[:, 0], dtype=np.float64)
+    sy = np.ascontiguousarray(samples[:, 1], dtype=np.float64)
+    # pre-screen: off-canvas samples break the bounded-delta guarantee
+    rx = np.rint(sx)
+    ry = np.rint(sy)
+    if ((rx < 0) | (rx >= w) | (ry < 0) | (ry >= h)).any():
+        return None
+
+    key = (int(brush), int(max_delta))
+    table = _STAMP_CACHE.get(key)
+    if table is None:
+        table = LineStampTable(int(brush), int(max_delta))
+        _STAMP_CACHE[key] = table
+
+    n = len(sx)
+    cap_pts = n + 8
+    cap_frags = n + 8
+    out_x = np.empty(cap_pts, np.float64)
+    out_y = np.empty(cap_pts, np.float64)
+    frag_lens = np.empty(cap_frags, np.int32)
+
+    dp = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    nfrags = lib.pw_virtual_draw(
+        sx.ctypes.data_as(dp), sy.ctypes.data_as(dp), n,
+        canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        float(tail_len_px), float(grid_radius), float(grid_cell),
+        table.R,
+        table.span_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        table.span_count.ctypes.data_as(i32p),
+        table.span_row.ctypes.data_as(i32p),
+        table.span_x0.ctypes.data_as(i32p),
+        table.span_x1.ctypes.data_as(i32p),
+        out_x.ctypes.data_as(dp), out_y.ctypes.data_as(dp), cap_pts,
+        frag_lens.ctypes.data_as(i32p), cap_frags,
+    )
+    if nfrags < 0:
+        return None
+    frags = []
+    off = 0
+    for i in range(nfrags):
+        ln = int(frag_lens[i])
+        pts = np.stack([out_x[off : off + ln], out_y[off : off + ln]], axis=1)
+        frags.append(pts.astype(np.int32).reshape(-1, 1, 2))
+        off += ln
+    return frags

@@ -13,6 +13,7 @@
 #include <cmath>
 #include <vector>
 #include <deque>
+#include <climits>
 
 extern "C" {
 
@@ -399,3 +400,174 @@ int64_t pw_trace(const int32_t* labels, const uint8_t* degree,
 }
 
 }  // extern "C"
+
+// ----------------------------------------------- stage-08 virtual draw
+
+// Exact port of the intra-dedup virtual-draw loop.  Thick-line stamping
+// uses a caller-provided span table: span lists for every integer delta in
+// [-R..R]^2, rendered once by OpenCV on the Python side (cv2 thick lines are
+// translation-invariant, so stamping == translating the rendered spans).
+// Deltas outside the table (only possible when samples leave the canvas,
+// which the caller pre-screens) are a contract violation -> return -2.
+extern "C" int64_t pw_virtual_draw(
+    const double* sx, const double* sy, int64_t n,   // resampled samples
+    uint8_t* canvas, int h, int w,
+    double tail_len_px, double grid_radius, double grid_cell,
+    int R,
+    const int64_t* span_start,   // per delta key: first span index
+    const int32_t* span_count,   //               number of spans
+    const int32_t* span_row,     // spans: row offset rel. to segment start
+    const int32_t* span_x0,      //        inclusive x start (rel)
+    const int32_t* span_x1,      //        inclusive x end (rel)
+    double* out_x, double* out_y, int64_t cap_pts,
+    int32_t* frag_lens, int64_t cap_frags)
+{
+    const double inv_cell = 1.0 / grid_cell;
+    const double r2 = grid_radius * grid_radius;
+    const int side = 2 * R + 1;
+
+    // sparse cell grid: open-addressing hash of (cx, cy) -> point list
+    struct Cell { long long key; std::vector<std::pair<double,double>> pts; };
+    size_t nbuck = 1;
+    while (nbuck < (size_t)(n * 2 + 16)) nbuck <<= 1;
+    std::vector<Cell> grid(nbuck);
+    for (auto& c : grid) c.key = LLONG_MIN;
+
+    auto cell_key = [](long long cx, long long cy) -> long long {
+        return (cx << 32) ^ (cy & 0xffffffffLL);
+    };
+    auto grid_add = [&](double x, double y) {
+        long long cx = (long long)std::floor(x * inv_cell);
+        long long cy = (long long)std::floor(y * inv_cell);
+        long long key = cell_key(cx, cy);
+        size_t idx = (size_t)key & (nbuck - 1);
+        while (grid[idx].key != LLONG_MIN && grid[idx].key != key)
+            idx = (idx + 1) & (nbuck - 1);
+        grid[idx].key = key;
+        grid[idx].pts.emplace_back(x, y);
+    };
+    auto grid_near = [&](double x, double y) -> bool {
+        long long cx = (long long)std::floor(x * inv_cell);
+        long long cy = (long long)std::floor(y * inv_cell);
+        for (long long dx = -1; dx <= 1; dx++)
+            for (long long dy = -1; dy <= 1; dy++) {
+                long long key = cell_key(cx + dx, cy + dy);
+                size_t idx = (size_t)key & (nbuck - 1);
+                while (grid[idx].key != LLONG_MIN) {
+                    if (grid[idx].key == key) {
+                        for (auto& p : grid[idx].pts) {
+                            double ddx = p.first - x, ddy = p.second - y;
+                            if (ddx * ddx + ddy * ddy <= r2) return true;
+                        }
+                        break;
+                    }
+                    idx = (idx + 1) & (nbuck - 1);
+                }
+            }
+        return false;
+    };
+
+    // sliding tail as a ring over sample indices (tail entries ARE samples)
+    std::vector<int64_t> tailq((size_t)n + 1);
+    int64_t thead = 0, ttail = 0;  // [thead, ttail)
+    double tail_len = 0.0;
+    bool has_last = false;
+    int last_x = 0, last_y = 0;
+
+    auto stamp = [&](int ax, int ay, int bx, int by) -> bool {
+        int ddx = bx - ax, ddy = by - ay;
+        if (ddx < -R || ddx > R || ddy < -R || ddy > R) return false;
+        int key = (ddy + R) * side + (ddx + R);
+        int64_t s0 = span_start[key];
+        int32_t cnt = span_count[key];
+        for (int32_t i = 0; i < cnt; i++) {
+            int row = ay + span_row[s0 + i];
+            if (row < 0 || row >= h) continue;
+            int x0 = ax + span_x0[s0 + i];
+            int x1 = ax + span_x1[s0 + i];
+            if (x0 < 0) x0 = 0;
+            if (x1 >= w) x1 = w - 1;
+            if (x0 <= x1) std::memset(canvas + (size_t)row * w + x0, 255, (size_t)(x1 - x0 + 1));
+        }
+        return true;
+    };
+
+    auto commit = [&](double px, double py) -> bool {
+        int xi = (int)std::nearbyint(px), yi = (int)std::nearbyint(py);
+        if (xi >= 0 && xi < w && yi >= 0 && yi < h) {
+            if (has_last && !stamp(last_x, last_y, xi, yi)) return false;
+            last_x = xi; last_y = yi; has_last = true;
+        }
+        return true;
+    };
+
+    int64_t npts = 0, nfrags = 0, cur_start = 0;
+    bool table_miss = false;
+
+    auto flush_frag = [&]() -> bool {
+        int64_t len = npts - cur_start;
+        if (len >= 2) {
+            if (nfrags + 1 > cap_frags) return false;
+            frag_lens[nfrags++] = (int32_t)len;
+        } else {
+            npts = cur_start;  // drop sub-2 fragments
+        }
+        cur_start = npts;
+        return true;
+    };
+
+    for (int64_t i = 0; i < n && !table_miss; i++) {
+        double x = sx[i], y = sy[i];
+        if (ttail > thead) {
+            int64_t lastidx = tailq[ttail - 1];
+            double dx = x - sx[lastidx], dy = y - sy[lastidx];
+            tail_len += std::sqrt(dx * dx + dy * dy);
+        }
+        tailq[ttail++] = i;
+
+        while (ttail > thead && tail_len > tail_len_px) {   // age out
+            int64_t oldi = tailq[thead++];
+            grid_add(sx[oldi], sy[oldi]);
+            if (ttail > thead) {
+                int64_t nx = tailq[thead];
+                double dx = sx[nx] - sx[oldi], dy = sy[nx] - sy[oldi];
+                tail_len -= std::sqrt(dx * dx + dy * dy);
+            } else {
+                tail_len = 0.0;
+            }
+            if (!commit(sx[oldi], sy[oldi])) { table_miss = true; break; }
+        }
+        if (table_miss) break;
+
+        int xi = (int)std::nearbyint(x), yi = (int)std::nearbyint(y);
+        bool oob = !(xi >= 0 && xi < w && yi >= 0 && yi < h);
+        bool blocked = !oob && (canvas[(size_t)yi * w + xi] == 255 || grid_near(x, y));
+        if (oob || blocked) {
+            if (!flush_frag()) return -1;
+        } else {
+            if (npts + 1 > cap_pts) return -1;
+            out_x[npts] = x; out_y[npts] = y; npts++;
+        }
+    }
+    if (table_miss) return -2;
+
+    // trailing age-out + flush of remaining tail (no grid inserts)
+    while (ttail > thead && tail_len > tail_len_px) {
+        int64_t oldi = tailq[thead++];
+        grid_add(sx[oldi], sy[oldi]);
+        if (ttail > thead) {
+            int64_t nx = tailq[thead];
+            double dx = sx[nx] - sx[oldi], dy = sy[nx] - sy[oldi];
+            tail_len -= std::sqrt(dx * dx + dy * dy);
+        } else {
+            tail_len = 0.0;
+        }
+        if (!commit(sx[oldi], sy[oldi])) return -2;
+    }
+    while (ttail > thead) {
+        int64_t oldi = tailq[thead++];
+        if (!commit(sx[oldi], sy[oldi])) return -2;
+    }
+    if (!flush_frag()) return -1;
+    return nfrags;
+}

@@ -117,6 +117,17 @@ def virtual_draw_cut(
     samples = resample_arclen(p, step=max(1.0, float(sample_step)))
     if len(samples) < 2:
         return []
+    try:  # native fast path (bit-identical; bails to Python on any edge case)
+        from ..native.api import virtual_draw_native  # noqa: PLC0415
+
+        frags = virtual_draw_native(
+            samples.astype(np.float64), canvas, grid_radius, grid_cell,
+            tail_len_px, brush, max_delta=int(math.ceil(max(1.0, float(sample_step)))) + 2,
+        )
+        if frags is not None:
+            return frags
+    except (OSError, RuntimeError):
+        pass
     # scalar Python floats throughout the loop: math.sqrt(dx*dx+dy*dy) on
     # doubles is bit-identical to np.linalg.norm on a float64 2-vector, and
     # avoids ~20 numpy-scalar allocations per sample (the loop's former cost)
