@@ -124,3 +124,44 @@ def test_stream_decodes_cleanly(runs):
     replay(dec, W, H)
     assert dec.stats.eof_seen
     assert dec.stats.off_canvas_steps == 0
+
+
+@pytest.mark.parametrize("fname", ["scaled_preview.png", "preview_intra.png", "preview_cross.png"])
+def test_per_layer_previews_identical(runs, fname):
+    """Per-layer previews render in black with the same cv2 calls → bytes."""
+    import cv2
+
+    ref, mine = runs
+    for layer in LAYERS:
+        a = cv2.imread(str(ref / layer / fname))
+        b = cv2.imread(str(mine / layer / fname))
+        assert a is not None and b is not None
+        assert (a == b).all(), f"{layer}/{fname}"
+
+
+def test_edges_composite_identical(runs):
+    import cv2
+
+    ref, mine = runs
+    a = cv2.imread(str(ref / "edges_composite.png"))
+    b = cv2.imread(str(mine / "edges_composite.png"))
+    assert (a == b).all()
+
+
+@pytest.mark.parametrize(
+    "fname",
+    ["scaled_preview_composite.png", "preview_intra_composite.png", "preview_cross_composite.png"],
+)
+def test_composites_near_identical(runs, fname):
+    """Composites use palette approx_bgr, which differs by ≤2 code units
+    between Lab implementations; near-white AA fringes then toggle the
+    reference's (img != 255) overlay mask, so a small pixel fraction may
+    differ structurally.  Bound it."""
+    import cv2
+
+    ref, mine = runs
+    a = cv2.imread(str(ref / fname))
+    b = cv2.imread(str(mine / fname))
+    assert a is not None and b is not None and a.shape == b.shape
+    frac = (a != b).any(axis=2).mean()
+    assert frac < 0.02, f"{fname}: {frac:.4f} of pixels differ"
