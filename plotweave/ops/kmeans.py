@@ -78,8 +78,11 @@ def kmeans(
     attempts: int = 3,
     iters: int = 40,
     seed: int = 42,
+    assign: bool = True,
 ):
-    """Cluster (N, D) float32 data; returns (centers [k,D], labels [N]).
+    """Cluster (N, D) float32 data; returns (centers [k,D], labels [N] or None
+    when ``assign=False`` — callers may fuse the all-point assignment into a
+    larger device program).
 
     The subsample index stream replicates the reference's
     ``np.random.default_rng(42).choice`` (02:41) so the fitted sample is
@@ -104,6 +107,8 @@ def kmeans(
             best = (centers, c)
 
     centers = best[0]
+    if not assign:
+        return np.asarray(centers), None
     full = jnp.asarray(data)
     d2 = (
         jnp.sum(full * full, axis=1, keepdims=True)

@@ -9,16 +9,44 @@ assignment and mask morphology run jitted/batched on device.
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import List
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import PipelineConfig
 from ..ops import morph_close, morph_open
 from ..ops.colorspace import bgr_to_lab_u8, lab_u8_to_bgr
 from ..ops.kmeans import kmeans
+from ..ops.morphology import _morph
 from ..utils import read_image, save_json, write_image
 from .common import darkness_rank, layer_dir
+
+
+@partial(jax.jit, static_argnames=("k", "open_iters", "close_iters"))
+def _assign_and_masks(img, centers, lut, k: int, open_iters: int, close_iters: int):
+    """One fused device call: Lab → nearest-center labels (original center
+    order, then LUT-relabelled dark→light exactly like the reference's
+    two-step argmin+relabel) → per-cluster pixel counts → morphology-cleaned
+    masks.  A single host↔device round trip for the whole stage."""
+    lab = bgr_to_lab_u8(img)
+    flat = lab.reshape(-1, 3)
+    d2 = (
+        jnp.sum(flat * flat, axis=1, keepdims=True)
+        - 2.0 * flat @ centers.T
+        + jnp.sum(centers * centers, axis=1)
+    )
+    labels = lut[jnp.argmin(d2, axis=1)].reshape(img.shape[:2])
+    sel = labels[None, :, :] == jnp.arange(k)[:, None, None]
+    counts = sel.sum(axis=(1, 2))
+    masks = sel.astype(jnp.uint8) * 255
+    if open_iters > 0:
+        masks = _morph(masks, "rect", 3, open_iters, "ed")
+    if close_iters > 0:
+        masks = _morph(masks, "rect", 3, close_iters, "de")
+    return masks, counts
 
 
 def _swatch_mode(cfg: PipelineConfig, img: np.ndarray) -> None:
@@ -58,35 +86,40 @@ def run(cfg: PipelineConfig) -> None:
     k = cfg.resolve_cluster_k()
 
     lab = np.asarray(bgr_to_lab_u8(img)).reshape(-1, 3)
-    centers, labels = kmeans(
+    # fit centers on the seeded subsample; the all-pixel assignment, counts
+    # and mask morphology happen in ONE fused device call below
+    centers, _ = kmeans(
         lab,
         k,
         sample_limit=int(cfg.kmeans_sample_limit),
         attempts=int(cfg.kmeans_attempts),
         iters=int(cfg.kmeans_iters),
         seed=int(cfg.kmeans_seed),
+        assign=False,
     )
-    h, w = img.shape[:2]
-    labels = labels.reshape(h, w)
 
-    # relabel dark→light by the L channel
+    # relabel dark→light by the L channel (reference 02:120-127)
     order = np.argsort(centers[:, 0])
-    centers = centers[order]
     lut = np.zeros_like(order)
     lut[order] = np.arange(len(order))
-    labels = lut[labels]
+    masks_dev, counts_dev = _assign_and_masks(
+        img,
+        jnp.asarray(centers),
+        jnp.asarray(lut),
+        k,
+        int(cfg.extract_open_iters),
+        int(cfg.extract_close_iters),
+    )
+    masks = np.asarray(masks_dev)
+    counts = [int(c) for c in np.asarray(counts_dev)]
+    centers = centers[order]
 
     names_sorted = sorted(names, key=darkness_rank)
-    counts = [int((labels == i).sum()) for i in range(k)]
 
     palette = {}
     for cluster_idx, name in enumerate(names_sorted[:k]):
         d = layer_dir(cfg, name)
-        mask = (labels == cluster_idx).astype(np.uint8) * 255
-        if cfg.extract_open_iters > 0:
-            mask = np.asarray(morph_open(mask, "rect", 3, cfg.extract_open_iters))
-        if cfg.extract_close_iters > 0:
-            mask = np.asarray(morph_close(mask, "rect", 3, cfg.extract_close_iters))
+        mask = masks[cluster_idx]
         write_image(os.path.join(d, "mask.png"), mask)
 
         center_lab = np.clip(np.rint(centers[cluster_idx]), 0, 255).astype(np.uint8)

@@ -364,7 +364,14 @@ def skeleton_merge(
 
 def _default_thinner(roi: np.ndarray) -> np.ndarray:
     """Stage-08 Zhang–Suen via the JAX stencil, shape-bucketed to bound
-    recompilation (zero padding cannot change the skeleton inside)."""
+    recompilation (zero padding cannot change the skeleton inside).
+
+    Cluster ROIs are small and numerous: dispatching each through a remote
+    accelerator costs more in round trips than the compute, so small ROIs
+    run on the local CPU backend (identical integer stencil either way).
+    """
+    import jax  # noqa: PLC0415
+
     from ..ops import zhang_suen  # noqa: PLC0415 — lazy: keep cv2-only paths importable
 
     h, w = roi.shape
@@ -372,8 +379,18 @@ def _default_thinner(roi: np.ndarray) -> np.ndarray:
     wb = max(32, 1 << (w - 1).bit_length())
     padded = np.zeros((hb, wb), np.uint8)
     padded[:h, :w] = roi
-    sk = np.asarray(zhang_suen(padded, max_iter=48, rotated=False)).astype(np.uint8) * 255
-    return sk[:h, :w]
+
+    def run():
+        return np.asarray(zhang_suen(padded, max_iter=48, rotated=False)).astype(np.uint8) * 255
+
+    if hb * wb <= 512 * 512:
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu):
+                return run()[:h, :w]
+        except RuntimeError:
+            pass
+    return run()[:h, :w]
 
 
 def dedup_layer(
