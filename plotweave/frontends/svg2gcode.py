@@ -49,17 +49,24 @@ def convert(
 
 
 def main(argv=None) -> None:
+    import sys
+    import xml.etree.ElementTree as ET
+
     args = build_argparser().parse_args(argv)
     svg_text = Path(args.input).read_text(encoding="utf-8", errors="ignore")
-    gcode = convert(
-        svg_text,
-        args.page_width_mm,
-        args.page_height_mm,
-        args.margin_mm,
-        args.samples_per_unit,
-        fit=not args.no_fit,
-        fit_mode=args.fit_mode,
-    )
+    try:
+        gcode = convert(
+            svg_text,
+            args.page_width_mm,
+            args.page_height_mm,
+            args.margin_mm,
+            args.samples_per_unit,
+            fit=not args.no_fit,
+            fit_mode=args.fit_mode,
+        )
+    except ET.ParseError as e:
+        print(f"error: {args.input} is not valid SVG/XML: {e}", file=sys.stderr)
+        sys.exit(2)
     Path(args.output).write_text(gcode, encoding="utf-8")
     n_paths = gcode.count("M3")
     print(f"G-code saved: {args.output} ({n_paths} paths)")

@@ -13,6 +13,7 @@ import time
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import PipelineConfig
@@ -24,7 +25,8 @@ from .common import layer_dir
 
 @partial(jax.jit, static_argnames=())
 def _thin_batched(edges):
-    return zhang_suen(edges, max_iter=120, rotated=True)  # natively layer-batched
+    # natively layer-batched; uint8 out quarters the device→host transfer
+    return zhang_suen(edges, max_iter=120, rotated=True).astype(jnp.uint8)
 
 
 def run(cfg: PipelineConfig) -> None:
