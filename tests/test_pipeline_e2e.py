@@ -25,17 +25,24 @@ import pytest
 GOLDEN = Path(__file__).parent / "golden" / "e2e"
 
 
-@pytest.fixture(scope="module")
-def runs(tmp_path_factory):
+# two reference-run configurations: the default-ish one and a variant with
+# asymmetric margins, a color-by-order remap, tighter dedup parameters and
+# different Canny settings (only reference-HONORED keys — see SURVEY §2.1)
+CONFIGS = [("base_cfg.json", "ref_artifacts.tar.gz"), ("base_cfg2.json", "ref_artifacts2.tar.gz")]
+
+
+@pytest.fixture(scope="module", params=CONFIGS, ids=["default", "variant"])
+def runs(request, tmp_path_factory):
+    cfg_name, tar_name = request.param
     base = tmp_path_factory.mktemp("e2e")
     ref_dir = base / "ref"
     ref_dir.mkdir()
-    with tarfile.open(GOLDEN / "ref_artifacts.tar.gz") as tf:
+    with tarfile.open(GOLDEN / tar_name) as tf:
         tf.extractall(ref_dir, filter="data")
 
     mine_dir = base / "mine"
     mine_dir.mkdir()
-    cfg_dict = json.loads((GOLDEN / "base_cfg.json").read_text())
+    cfg_dict = json.loads((GOLDEN / cfg_name).read_text())
     cfg_dict["input_image"] = str(GOLDEN / "testimg.png")
     cfg_dict["output_dir"] = str(mine_dir)
     (mine_dir / "config.json").write_text(json.dumps(cfg_dict))
