@@ -5,8 +5,6 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Tuple
 
-import numpy as np
-
 from ..config import PipelineConfig
 from ..utils import load_json, read_image
 
@@ -75,8 +73,3 @@ def palette_bgr(cfg: PipelineConfig, key: str = "approx_bgr") -> Dict[str, Tuple
         out[name] = (int(b), int(g), int(r))
     return out
 
-
-def stack_layer_images(paths: List[str]) -> np.ndarray:
-    """Load same-size grayscale artifacts into one (L, H, W) batch."""
-    imgs = [read_image(p, gray=True) for p in paths]
-    return np.stack(imgs, axis=0)
