@@ -19,26 +19,60 @@ import numpy as np
 from ..config import PipelineConfig
 from ..ops import morph_close, morph_open
 from ..ops.colorspace import bgr_to_lab_u8, lab_u8_to_bgr
-from ..ops.kmeans import kmeans
+from ..ops.kmeans import _kpp_init, _lloyd
 from ..ops.morphology import _morph
 from ..utils import read_image, save_json, write_image
 from .common import darkness_rank, layer_dir
 
 
-@partial(jax.jit, static_argnames=("k", "open_iters", "close_iters"))
-def _assign_and_masks(img, centers, lut, k: int, open_iters: int, close_iters: int):
-    """One fused device call: Lab → nearest-center labels (original center
-    order, then LUT-relabelled dark→light exactly like the reference's
-    two-step argmin+relabel) → per-cluster pixel counts → morphology-cleaned
-    masks.  A single host↔device round trip for the whole stage."""
+@jax.jit
+def _lab_and_sample(img, idx):
+    """Device call A: Lab conversion + k-means subsample gather.  Only the
+    (sample_limit, 3) float32 sample crosses back to the host (for the exact
+    numpy-RNG k-means++ seeding); the full-resolution lab image stays resident
+    on device for call B."""
     lab = bgr_to_lab_u8(img)
+    return lab, jnp.take(lab.reshape(-1, 3), idx, axis=0)
+
+
+def _bitpack_rows(masks):
+    """(..., W) uint8 {0,255} → (..., ceil(W/8)) uint8, MSB-first — matches
+    ``np.unpackbits(..., axis=-1)`` on the host.  8× smaller d2h transfer."""
+    w = masks.shape[-1]
+    bits = (masks > 0).astype(jnp.uint8)
+    pad = (-w) % 8
+    if pad:
+        bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
+    bits = bits.reshape(*bits.shape[:-1], -1, 8)
+    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return (bits.astype(jnp.int32) * weights).sum(axis=-1).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("k", "iters", "open_iters", "close_iters"))
+def _fit_assign_masks(lab, sample, inits, k: int, iters: int, open_iters: int, close_iters: int):
+    """Device call B: the whole rest of the stage fused into one program —
+    every k-means attempt (unrolled ``_lloyd`` fixpoints, strict first-wins
+    best-compactness pick exactly like the former per-attempt host loop),
+    all-pixel nearest-center assignment, per-cluster counts, morphology, and
+    bit-packed masks for the return transfer.  Masks/counts come back in
+    original cluster order; the host applies the reference's dark→light
+    relabel (02:120-127) as a pure reorder, which is arithmetically identical
+    to the LUT relabel it replaces."""
+    best_centers = jnp.zeros_like(inits[0])
+    best_comp = jnp.asarray(jnp.inf, sample.dtype)
+    for a in range(inits.shape[0]):
+        centers, comp = _lloyd(sample, inits[a], iters)
+        take = comp < best_comp
+        best_centers = jnp.where(take, centers, best_centers)
+        best_comp = jnp.where(take, comp, best_comp)
+
     flat = lab.reshape(-1, 3)
     d2 = (
         jnp.sum(flat * flat, axis=1, keepdims=True)
-        - 2.0 * flat @ centers.T
-        + jnp.sum(centers * centers, axis=1)
+        - 2.0 * flat @ best_centers.T
+        + jnp.sum(best_centers * best_centers, axis=1)
     )
-    labels = lut[jnp.argmin(d2, axis=1)].reshape(img.shape[:2])
+    labels = jnp.argmin(d2, axis=1).reshape(lab.shape[:2])
     sel = labels[None, :, :] == jnp.arange(k)[:, None, None]
     counts = sel.sum(axis=(1, 2))
     masks = sel.astype(jnp.uint8) * 255
@@ -46,7 +80,7 @@ def _assign_and_masks(img, centers, lut, k: int, open_iters: int, close_iters: i
         masks = _morph(masks, "rect", 3, open_iters, "ed")
     if close_iters > 0:
         masks = _morph(masks, "rect", 3, close_iters, "de")
-    return masks, counts
+    return best_centers, counts, _bitpack_rows(masks)
 
 
 def _swatch_mode(cfg: PipelineConfig, img: np.ndarray) -> None:
@@ -85,33 +119,41 @@ def run(cfg: PipelineConfig) -> None:
     names = list(cfg.color_names)
     k = cfg.resolve_cluster_k()
 
-    lab = np.asarray(bgr_to_lab_u8(img)).reshape(-1, 3)
-    # fit centers on the seeded subsample; the all-pixel assignment, counts
-    # and mask morphology happen in ONE fused device call below
-    centers, _ = kmeans(
-        lab,
-        k,
-        sample_limit=int(cfg.kmeans_sample_limit),
-        attempts=int(cfg.kmeans_attempts),
-        iters=int(cfg.kmeans_iters),
-        seed=int(cfg.kmeans_seed),
-        assign=False,
-    )
+    h, w = img.shape[:2]
+    n = h * w
+    seed = int(cfg.kmeans_seed)
+    limit = int(cfg.kmeans_sample_limit)
+    # identical subsample index stream to the reference's rng(42).choice (02:41)
+    if n > limit:
+        idx = np.random.default_rng(seed).choice(n, size=limit, replace=False)
+    else:
+        idx = np.arange(n, dtype=np.int64)
 
-    # relabel dark→light by the L channel (reference 02:120-127)
-    order = np.argsort(centers[:, 0])
-    lut = np.zeros_like(order)
-    lut[order] = np.arange(len(order))
-    masks_dev, counts_dev = _assign_and_masks(
-        img,
-        jnp.asarray(centers),
-        jnp.asarray(lut),
+    lab_dev, sample_dev = _lab_and_sample(img, jnp.asarray(idx))
+    sample = np.ascontiguousarray(sample_dev, dtype=np.float32)
+    inits = np.stack(
+        [
+            _kpp_init(sample, k, np.random.default_rng(seed + 1000 * a))
+            for a in range(int(cfg.kmeans_attempts))
+        ]
+    )
+    centers_dev, counts_dev, packed_dev = _fit_assign_masks(
+        lab_dev,
+        sample_dev,
+        jnp.asarray(inits),
         k,
+        int(cfg.kmeans_iters),
         int(cfg.extract_open_iters),
         int(cfg.extract_close_iters),
     )
-    masks = np.asarray(masks_dev)
-    counts = [int(c) for c in np.asarray(counts_dev)]
+    centers = np.asarray(centers_dev)
+    masks0 = np.unpackbits(np.asarray(packed_dev), axis=-1)[..., :w] * np.uint8(255)
+    counts0 = np.asarray(counts_dev)
+
+    # relabel dark→light by the L channel (reference 02:120-127)
+    order = np.argsort(centers[:, 0])
+    masks = masks0[order]
+    counts = [int(c) for c in counts0[order]]
     centers = centers[order]
 
     names_sorted = sorted(names, key=darkness_rank)
