@@ -249,3 +249,63 @@ def virtual_draw_native(samples, canvas, grid_radius, grid_cell, tail_len_px, br
         frags.append(pts.astype(np.int32).reshape(-1, 1, 2))
         off += ln
     return frags
+
+
+def thin_native(roi: np.ndarray, max_iter: int, rotated: bool) -> Optional[np.ndarray]:
+    """Native Zhang–Suen; 0/1 uint8 skeleton, or None if unavailable.
+    Bit-identical to ops.thinning.zhang_suen (fuzz-tested)."""
+    from .loader import bind_skeleton_ops  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    bind_skeleton_ops(lib)
+    h, w = roi.shape
+    buf = np.ascontiguousarray(roi, dtype=np.uint8).copy()
+    lib.pw_thin(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        int(max_iter),
+        1 if rotated else 0,
+    )
+    return buf
+
+
+def component_path_native(
+    labels: np.ndarray,
+    cc: int,
+    a: Optional[Tuple[int, int]],
+    b: Optional[Tuple[int, int]],
+    min_len: int,
+) -> Optional[List[Tuple[int, int]]]:
+    """Native _component_path over a connected-component label image.
+    ``a``/``b`` are (y, x) anchors or None.  Returns the path as (y, x)
+    tuples ([] when no admissible path), or None if the library is missing."""
+    from .loader import bind_skeleton_ops  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    bind_skeleton_ops(lib)
+    lab = np.ascontiguousarray(labels, dtype=np.int32)
+    h, w = lab.shape
+    out = np.empty(((h * w), 2), dtype=np.int32)
+    ay, ax = (a if a is not None else (0, 0))
+    by, bx = (b if b is not None else (0, 0))
+    n = lib.pw_comp_path(
+        lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        h,
+        w,
+        int(cc),
+        int(ay),
+        int(ax),
+        1 if a is not None else 0,
+        int(by),
+        int(bx),
+        1 if b is not None else 0,
+        int(min_len),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        h * w,
+    )
+    return [(int(y), int(x)) for y, x in out[:n]] if n > 0 else []

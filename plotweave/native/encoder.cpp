@@ -571,3 +571,173 @@ extern "C" int64_t pw_virtual_draw(
     if (!flush_frag()) return -1;
     return nfrags;
 }
+
+// ------------------------------------------------- Zhang–Suen thinning
+//
+// Bit-identical to plotweave.ops.thinning.zhang_suen (which itself matches
+// the reference thinners: 04_find_contours.py:35-99 rotated ring,
+// 08_dedup_layer_basic.py:342-372 standard ring).  Each iteration applies
+// the two subpasses simultaneously over the whole array (double-buffered),
+// stopping when a full iteration removes nothing or max_iter is reached.
+
+static inline int zs_subpass(const uint8_t* src, uint8_t* dst, int h, int w,
+                             int first, int rotated) {
+    // ring offsets (dy,dx): textbook N,NE,E,SE,S,SW,W,NW; rotated = negated
+    static const int RDY[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
+    static const int RDX[8] = {0, 1, 1, 1, 0, -1, -1, -1};
+    int dy[8], dx[8];
+    for (int i = 0; i < 8; i++) {
+        dy[i] = rotated ? -RDY[i] : RDY[i];
+        dx[i] = rotated ? -RDX[i] : RDX[i];
+    }
+    int changed = 0;
+    for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x++) {
+            uint8_t v = src[(size_t)y * w + x];
+            dst[(size_t)y * w + x] = v;
+            if (!v) continue;
+            uint8_t p[9];
+            for (int i = 0; i < 8; i++) {
+                int ny = y + dy[i], nx = x + dx[i];
+                p[i] = (ny >= 0 && ny < h && nx >= 0 && nx < w)
+                           ? src[(size_t)ny * w + nx]
+                           : 0;
+            }
+            p[8] = p[0];
+            int b = 0, a = 0;
+            for (int i = 0; i < 8; i++) {
+                b += p[i];
+                a += (p[i] == 0 && p[i + 1] == 1);
+            }
+            if (b < 2 || b > 6 || a != 1) continue;
+            // p[0]=P2(N) p[2]=P4(E) p[4]=P6(S) p[6]=P8(W)
+            int ok;
+            if (first)
+                ok = (p[0] * p[2] * p[4] == 0) && (p[2] * p[4] * p[6] == 0);
+            else
+                ok = (p[0] * p[2] * p[6] == 0) && (p[0] * p[4] * p[6] == 0);
+            if (ok) { dst[(size_t)y * w + x] = 0; changed = 1; }
+        }
+    }
+    return changed;
+}
+
+// img: h*w uint8, any nonzero = foreground; thinned in place to 0/1.
+extern "C" int pw_thin(uint8_t* img, int h, int w, int max_iter, int rotated) {
+    size_t n = (size_t)h * w;
+    std::vector<uint8_t> tmp(n);
+    for (size_t i = 0; i < n; i++) img[i] = img[i] ? 1 : 0;
+    int it = 0;
+    while (it < max_iter) {
+        int c1 = zs_subpass(img, tmp.data(), h, w, 1, rotated);
+        int c2 = zs_subpass(tmp.data(), img, h, w, 0, rotated);
+        it++;
+        if (!c1 && !c2) break;
+    }
+    return it;
+}
+
+// --------------------------------------- component path (BFS geodesic/diameter)
+//
+// Mirrors plotweave.vector.dedup_intra._component_path / _bfs_tree /
+// _geodesic (reference 08_dedup_layer_basic.py:261-317) exactly: FIFO BFS
+// with the 8-neighbor offset order ((-1,-1),(-1,0),(-1,1),(0,1),(1,1),(1,0),
+// (1,-1),(0,-1)), "farthest" = last dequeued, geodesic via prev pointers.
+
+namespace {
+
+struct BfsBufs {
+    std::vector<int32_t> prev;   // flat index of predecessor, -1 = none
+    std::vector<uint8_t> seen;
+    std::vector<int32_t> que;
+};
+
+static int32_t bfs_tree(const int32_t* lab, int h, int w, int cc, int32_t src,
+                        BfsBufs& b) {
+    static const int DY[8] = {-1, -1, -1, 0, 1, 1, 1, 0};
+    static const int DX[8] = {-1, 0, 1, 1, 1, 0, -1, -1};
+    size_t n = (size_t)h * w;
+    b.prev.assign(n, -1);
+    b.seen.assign(n, 0);
+    b.que.clear();
+    b.seen[src] = 1;
+    b.que.push_back(src);
+    size_t head = 0;
+    int32_t last = src;
+    while (head < b.que.size()) {
+        int32_t cur = b.que[head++];
+        last = cur;
+        int y = cur / w, x = cur % w;
+        for (int i = 0; i < 8; i++) {
+            int ny = y + DY[i], nx = x + DX[i];
+            if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+            int32_t ni = ny * w + nx;
+            if (lab[ni] == cc && !b.seen[ni]) {
+                b.seen[ni] = 1;
+                b.prev[ni] = cur;
+                b.que.push_back(ni);
+            }
+        }
+    }
+    return last;
+}
+
+// geodesic start->goal into out (as y,x pairs); returns npts or 0
+static int64_t geodesic(const int32_t* lab, int h, int w, int cc,
+                        int32_t start, int32_t goal, BfsBufs& b,
+                        int32_t* out_yx, int64_t cap) {
+    if (start == goal) {
+        if (cap < 1) return 0;
+        out_yx[0] = start / w;
+        out_yx[1] = start % w;
+        return 1;
+    }
+    bfs_tree(lab, h, w, cc, start, b);
+    if (b.prev[goal] == -1) return 0;
+    // walk prev pointers goal->start, then reverse
+    std::vector<int32_t> rev;
+    int32_t cur = goal;
+    rev.push_back(cur);
+    while (cur != start) {
+        int32_t p = b.prev[cur];
+        if (p == -1) return 0;
+        rev.push_back(p);
+        cur = p;
+    }
+    int64_t m = (int64_t)rev.size();
+    if (m > cap) return 0;
+    for (int64_t i = 0; i < m; i++) {
+        int32_t v = rev[m - 1 - i];
+        out_yx[2 * i] = v / w;
+        out_yx[2 * i + 1] = v % w;
+    }
+    return m;
+}
+
+}  // namespace
+
+// Returns number of (y,x) points written to out_yx, or 0 when no path of
+// length >= max(2, min_len) exists.  aok/bok say whether each anchor is
+// valid AND on the component (checked again here like the Python).
+extern "C" int64_t pw_comp_path(const int32_t* lab, int h, int w, int cc,
+                                int ay, int ax, int aok, int by, int bx,
+                                int bok, int min_len, int32_t* out_yx,
+                                int64_t cap) {
+    BfsBufs b;
+    int64_t need = min_len < 2 ? 2 : min_len;
+    if (aok && bok && lab[(size_t)ay * w + ax] == cc &&
+        lab[(size_t)by * w + bx] == cc) {
+        int64_t m = geodesic(lab, h, w, cc, ay * w + ax, by * w + bx, b,
+                             out_yx, cap);
+        if (m >= need) return m;
+    }
+    // seed = first foreground pixel in row-major order (np.where order)
+    int32_t seed = -1;
+    for (int64_t i = 0; i < (int64_t)h * w; i++)
+        if (lab[i] == cc) { seed = (int32_t)i; break; }
+    if (seed < 0) return 0;
+    int32_t u = bfs_tree(lab, h, w, cc, seed, b);
+    int32_t v = bfs_tree(lab, h, w, cc, u, b);
+    int64_t m = geodesic(lab, h, w, cc, u, v, b, out_yx, cap);
+    return m >= need ? m : 0;
+}

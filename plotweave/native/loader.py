@@ -131,3 +131,33 @@ def bind_virtual_draw(lib: ctypes.CDLL) -> None:
     ]
     lib.pw_virtual_draw.restype = ctypes.c_int64
     lib._pw_vd_bound = True
+
+
+def bind_skeleton_ops(lib: ctypes.CDLL) -> None:
+    if hasattr(lib, "_pw_skel_bound"):
+        return
+    lib.pw_thin.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.pw_thin.restype = ctypes.c_int
+    lib.pw_comp_path.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
+    lib.pw_comp_path.restype = ctypes.c_int64
+    lib._pw_skel_bound = True

@@ -346,11 +346,15 @@ def skeleton_merge(
         a0 = nearest_skel(anchor_a)
         a1 = nearest_skel(anchor_b)
 
+        from ..native.api import component_path_native  # noqa: PLC0415
+
         for cc in range(1, int(num)):
-            comp = (lab == cc).astype(np.uint8) * 255
-            aa = a0 if (a0 is not None and comp[a0]) else None
-            ab = a1 if (a1 is not None and comp[a1]) else None
-            path = _component_path(comp, aa, ab, min_len=min_path_len)
+            path = component_path_native(lab, cc, a0, a1, min_path_len)
+            if path is None:  # no native library: identical Python BFS
+                comp = (lab == cc).astype(np.uint8) * 255
+                aa = a0 if (a0 is not None and comp[a0]) else None
+                ab = a1 if (a1 is not None and comp[a1]) else None
+                path = _component_path(comp, aa, ab, min_len=min_path_len)
             if len(path) < 2:
                 continue
             arr = np.array([(x0 + x, y0 + y) for (y, x) in path], np.float32)
@@ -370,6 +374,12 @@ def _default_thinner(roi: np.ndarray) -> np.ndarray:
     accelerator costs more in round trips than the compute, so small ROIs
     run on the local CPU backend (identical integer stencil either way).
     """
+    from ..native.api import thin_native  # noqa: PLC0415
+
+    sk = thin_native(roi, max_iter=48, rotated=False)
+    if sk is not None:
+        return sk * 255
+
     import jax  # noqa: PLC0415
 
     from ..ops import zhang_suen  # noqa: PLC0415 — lazy: keep cv2-only paths importable

@@ -97,3 +97,55 @@ def test_emitter_backend_reports_native():
         assert len(e.finish()) == 1024
     finally:
         del os.environ["PLOTWEAVE_NO_NATIVE"]
+
+
+def test_native_thin_fuzz_identical_to_jax():
+    from plotweave.native.api import thin_native
+    from plotweave.ops import zhang_suen
+
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        h, w = int(rng.integers(8, 90)), int(rng.integers(8, 90))
+        img = (rng.random((h, w)) < rng.uniform(0.2, 0.8)).astype(np.uint8) * 255
+        for rotated in (False, True):
+            for max_iter in (48, 120):
+                ours = thin_native(img, max_iter=max_iter, rotated=rotated)
+                ref = np.asarray(zhang_suen(img, max_iter=max_iter, rotated=rotated))
+                assert ours is not None
+                np.testing.assert_array_equal(ours, ref.astype(np.uint8))
+
+
+def test_native_component_path_fuzz_identical_to_python():
+    import cv2
+
+    from plotweave.native.api import component_path_native
+    from plotweave.vector.dedup_intra import _component_path
+
+    rng = np.random.default_rng(12)
+    for trial in range(20):
+        h, w = int(rng.integers(10, 70)), int(rng.integers(10, 70))
+        img = np.zeros((h, w), np.uint8)
+        for _ in range(int(rng.integers(1, 6))):
+            p0 = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+            p1 = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+            cv2.line(img, p0, p1, 255, 1)
+        num, lab = cv2.connectedComponents((img > 0).astype(np.uint8), connectivity=8)
+        lab = lab.astype(np.int32)
+        min_len = int(rng.integers(2, 8))
+        ys, xs = np.nonzero(img)
+        anchors = [None, None]
+        if ys.size:
+            for i in range(2):
+                if rng.random() < 0.7:
+                    j = int(rng.integers(0, ys.size))
+                    anchors[i] = (int(ys[j]), int(xs[j]))
+                else:
+                    anchors[i] = (int(rng.integers(0, h)), int(rng.integers(0, w)))
+        a0, a1 = anchors
+        for cc in range(1, int(num)):
+            native = component_path_native(lab, cc, a0, a1, min_len)
+            comp = (lab == cc).astype(np.uint8) * 255
+            aa = a0 if (a0 is not None and comp[a0]) else None
+            ab = a1 if (a1 is not None and comp[a1]) else None
+            ref = _component_path(comp, aa, ab, min_len=min_len)
+            assert native == [(int(y), int(x)) for (y, x) in ref]
