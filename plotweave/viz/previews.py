@@ -44,8 +44,9 @@ def render_layer(
 
 
 def overlay_nonwhite(composite: np.ndarray, layer_img: np.ndarray) -> None:
-    m = (layer_img != 255).any(axis=2)
-    composite[m] = layer_img[m]
+    """composite[p] = layer_img[p] wherever layer_img[p] != (255,255,255)."""
+    white = cv2.inRange(layer_img, (255, 255, 255), (255, 255, 255))
+    cv2.copyTo(layer_img, cv2.bitwise_not(white), composite)
 
 
 def render_stage_previews(
@@ -60,9 +61,18 @@ def render_stage_previews(
     tap_radius: int = 0,
     tap_color_black_pass: BGR = (0, 0, 255),
 ) -> str:
-    """Write <layer>/<per_layer_name> + <out_dir>/<composite_name>."""
+    """Write <layer>/<per_layer_name> + <out_dir>/<composite_name>.
+
+    Layers render concurrently (cv2 releases the GIL; each layer's render and
+    PNG write are independent), then composite overlays apply in layer order —
+    output bytes are identical to the sequential loop.
+    """
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
     composite = np.full((size_wh[1], size_wh[0], 3), 255, np.uint8)
-    for name, lines, taps in layers:
+
+    def one(layer):
+        name, lines, taps = layer
         d = os.path.join(out_dir, name)
         os.makedirs(d, exist_ok=True)
         black = render_layer(
@@ -70,12 +80,15 @@ def render_stage_previews(
             taps=taps, tap_color=tap_color_black_pass, tap_radius=tap_radius,
         )
         cv2.imwrite(os.path.join(d, per_layer_name), black)
-
         col = palette.get(name, (0, 0, 0))
-        colored = render_layer(
+        return render_layer(
             size_wh, lines, col, thickness, antialiased,
             taps=taps, tap_color=col, tap_radius=tap_radius,
         )
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(layers)))) as pool:
+        colored_layers = list(pool.map(one, layers))
+    for (name, lines, taps), colored in zip(layers, colored_layers):
         overlay_nonwhite(composite, colored)
         print(f"[preview] {name}: lines={len(lines)}, taps={len(taps or [])}")
     out = os.path.join(out_dir, composite_name)
