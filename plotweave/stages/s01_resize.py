@@ -9,14 +9,19 @@ import numpy as np
 
 from ..config import PipelineConfig
 from ..ops import resize_if_needed
-from ..utils import read_image, write_image
+from ..utils import read_image, register_device_artifact, write_image
 
 
 def run(cfg: PipelineConfig) -> None:
+    import jax  # noqa: PLC0415
+
     cfg.ensure_output_dirs()
     img = read_image(cfg.input_image)
     out, resized = resize_if_needed(img, cfg.max_dimension)
     out = np.asarray(out)
+    # start the device upload now (async) so stage 02 finds the image already
+    # resident; the PNG encode below overlaps the transfer
+    out_dev = jax.device_put(out)
     h, w = img.shape[:2]
     if resized:
         print(f"Resizing: {w}x{h} -> {out.shape[1]}x{out.shape[0]}")
@@ -24,4 +29,5 @@ def run(cfg: PipelineConfig) -> None:
         print(f"No resize required: {w}x{h}")
     dst = os.path.join(cfg.output_dir, "resized.png")
     write_image(dst, out)
+    register_device_artifact(dst, out_dev)
     print(f"Saved: {dst}")

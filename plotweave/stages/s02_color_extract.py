@@ -18,10 +18,17 @@ import numpy as np
 
 from ..config import PipelineConfig
 from ..ops import morph_close, morph_open
+from ..ops.bitpack import bitpack_rows, unpack_rows
 from ..ops.colorspace import bgr_to_lab_u8, lab_u8_to_bgr
 from ..ops.kmeans import _kpp_init, _lloyd
 from ..ops.morphology import _morph
-from ..utils import read_image, save_json, write_image
+from ..utils import (
+    fetch_device_artifact,
+    read_image,
+    register_device_artifact,
+    save_json,
+    write_image,
+)
 from .common import darkness_rank, layer_dir
 
 
@@ -33,19 +40,6 @@ def _lab_and_sample(img, idx):
     on device for call B."""
     lab = bgr_to_lab_u8(img)
     return lab, jnp.take(lab.reshape(-1, 3), idx, axis=0)
-
-
-def _bitpack_rows(masks):
-    """(..., W) uint8 {0,255} → (..., ceil(W/8)) uint8, MSB-first — matches
-    ``np.unpackbits(..., axis=-1)`` on the host.  8× smaller d2h transfer."""
-    w = masks.shape[-1]
-    bits = (masks > 0).astype(jnp.uint8)
-    pad = (-w) % 8
-    if pad:
-        bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
-    bits = bits.reshape(*bits.shape[:-1], -1, 8)
-    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
-    return (bits.astype(jnp.int32) * weights).sum(axis=-1).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("k", "iters", "open_iters", "close_iters"))
@@ -80,7 +74,9 @@ def _fit_assign_masks(lab, sample, inits, k: int, iters: int, open_iters: int, c
         masks = _morph(masks, "rect", 3, open_iters, "ed")
     if close_iters > 0:
         masks = _morph(masks, "rect", 3, close_iters, "de")
-    return best_centers, counts, _bitpack_rows(masks)
+    # masks are returned both packed (for the host transfer) and unpacked
+    # (device-resident, handed to stage 03 without ever crossing the link)
+    return best_centers, counts, bitpack_rows(masks), masks
 
 
 def _swatch_mode(cfg: PipelineConfig, img: np.ndarray) -> None:
@@ -110,11 +106,16 @@ def _swatch_mode(cfg: PipelineConfig, img: np.ndarray) -> None:
 
 def run(cfg: PipelineConfig) -> None:
     os.makedirs(cfg.output_dir, exist_ok=True)
-    img = read_image(os.path.join(cfg.output_dir, "resized.png"))
+    resized_path = os.path.join(cfg.output_dir, "resized.png")
 
     if cfg.extraction_mode.lower() == "swatch":
-        _swatch_mode(cfg, img)
+        _swatch_mode(cfg, read_image(resized_path))
         return
+
+    # device-resident handoff from stage 01 when available; disk otherwise
+    img = fetch_device_artifact(resized_path)
+    if img is None:
+        img = read_image(resized_path)
 
     names = list(cfg.color_names)
     k = cfg.resolve_cluster_k()
@@ -137,7 +138,7 @@ def run(cfg: PipelineConfig) -> None:
             for a in range(int(cfg.kmeans_attempts))
         ]
     )
-    centers_dev, counts_dev, packed_dev = _fit_assign_masks(
+    centers_dev, counts_dev, packed_dev, masks_dev = _fit_assign_masks(
         lab_dev,
         sample_dev,
         jnp.asarray(inits),
@@ -147,7 +148,7 @@ def run(cfg: PipelineConfig) -> None:
         int(cfg.extract_close_iters),
     )
     centers = np.asarray(centers_dev)
-    masks0 = np.unpackbits(np.asarray(packed_dev), axis=-1)[..., :w] * np.uint8(255)
+    masks0 = unpack_rows(packed_dev, w) * np.uint8(255)
     counts0 = np.asarray(counts_dev)
 
     # relabel dark→light by the L channel (reference 02:120-127)
@@ -162,7 +163,10 @@ def run(cfg: PipelineConfig) -> None:
     for cluster_idx, name in enumerate(names_sorted[:k]):
         d = layer_dir(cfg, name)
         mask = masks[cluster_idx]
-        write_image(os.path.join(d, "mask.png"), mask)
+        mask_path = os.path.join(d, "mask.png")
+        write_image(mask_path, mask)
+        # device-resident copy for stage 03 (identical values to the PNG)
+        register_device_artifact(mask_path, masks_dev[int(order[cluster_idx])])
 
         center_lab = np.clip(np.rint(centers[cluster_idx]), 0, 255).astype(np.uint8)
         bgr = tuple(int(v) for v in np.asarray(lab_u8_to_bgr(center_lab.astype(np.float32))))

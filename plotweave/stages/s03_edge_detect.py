@@ -15,10 +15,11 @@ import jax
 import numpy as np
 
 from ..config import PipelineConfig
+from ..ops.bitpack import bitpack_rows, unpack_rows
 from ..ops.canny import canny
 from ..ops.filters import gaussian_blur_u8
 from ..ops.morphology import _morph
-from ..utils import read_image, write_image
+from ..utils import fetch_device_artifact, read_image, register_device_artifact, write_image
 from .common import layer_dir, palette_bgr
 
 
@@ -29,51 +30,64 @@ def _ensure_odd(n: int) -> int:
 
 @partial(jax.jit, static_argnames=("mk", "oi", "ci", "bk", "lo", "hi"))
 def _edges_batched(masks, mk: int, oi: int, ci: int, bk: int, lo: int, hi: int):
-    """(L, H, W) masks → (L, H, W) edges; the ops are natively layer-batched."""
+    """(L, H, W) masks → (L, H, W) edges; the ops are natively layer-batched.
+    Edges come back both packed (8 px/byte for the host transfer) and
+    unpacked (device-resident, handed to stage 04)."""
     m = masks
     if oi > 0:
         m = _morph(m, "ellipse", mk, oi, "ed")
     if ci > 0:
         m = _morph(m, "ellipse", mk, ci, "de")
-    return canny(gaussian_blur_u8(m, bk), lo, hi)
+    e = canny(gaussian_blur_u8(m, bk), lo, hi)
+    return bitpack_rows(e), e
 
 
 def run(cfg: PipelineConfig) -> None:
+    import jax.numpy as jnp  # noqa: PLC0415
+
     names = list(cfg.color_names)
     masks = []
+    all_dev = True
     for name in names:
         p = os.path.join(cfg.output_dir, name, "mask.png")
-        if not os.path.exists(p):
-            raise FileNotFoundError(f"Mask not found: {p}")
-        masks.append(read_image(p, gray=True))
-    batch = np.stack(masks, axis=0)
+        m = fetch_device_artifact(p)
+        if m is None:
+            all_dev = False
+            if not os.path.exists(p):
+                raise FileNotFoundError(f"Mask not found: {p}")
+            m = read_image(p, gray=True)
+        masks.append(m)
+    batch = jnp.stack(masks, axis=0) if all_dev else np.stack([np.asarray(m) for m in masks], axis=0)
 
-    edges = np.asarray(
-        _edges_batched(
-            batch,
-            max(1, int(cfg.edge_morph_kernel)),
-            int(cfg.edge_morph_open_iters),
-            int(cfg.edge_morph_close_iters),
-            _ensure_odd(cfg.edge_kernel_size),
-            int(cfg.edge_low_threshold),
-            int(cfg.edge_high_threshold),
-        )
+    packed_dev, edges_dev = _edges_batched(
+        batch,
+        max(1, int(cfg.edge_morph_kernel)),
+        int(cfg.edge_morph_open_iters),
+        int(cfg.edge_morph_close_iters),
+        _ensure_odd(cfg.edge_kernel_size),
+        int(cfg.edge_low_threshold),
+        int(cfg.edge_high_threshold),
     )
+    edges = unpack_rows(packed_dev, batch.shape[-1]) * np.uint8(255)
 
-    for name, e in zip(names, edges):
+    edges_by_name = {}
+    for i, (name, e) in enumerate(zip(names, edges)):
         out = os.path.join(layer_dir(cfg, name), "edges.png")
         write_image(out, e)
+        register_device_artifact(out, edges_dev[i])
+        edges_by_name[name] = e
         print(f"Edges extracted: {name} | nz={int(np.count_nonzero(e))}")
 
-    _composite(cfg, names)
+    _composite(cfg, names, edges_by_name)
 
 
-def _composite(cfg: PipelineConfig, names) -> None:
+def _composite(cfg: PipelineConfig, names, edges_by_name=None) -> None:
     """Overlay per-layer edges in layer colors on white (03:60-111).
 
     Keeps the reference's palette quirk: it looks up key "bgr", which the
     stage-02 palette never writes, so colors always fall back to cfg.colors.
     """
+    edges_by_name = edges_by_name or {}
     try:
         base = read_image(os.path.join(cfg.output_dir, "resized.png"))
         h, w = base.shape[:2]
@@ -90,10 +104,12 @@ def _composite(cfg: PipelineConfig, names) -> None:
     canvas = np.full((h, w, 3), 255, np.uint8)
     colors = palette_bgr(cfg, key="bgr")
     for name in names:
-        p = os.path.join(cfg.output_dir, name, "edges.png")
-        if not os.path.exists(p):
-            continue
-        e = read_image(p, gray=True)
+        e = edges_by_name.get(name)
+        if e is None:
+            p = os.path.join(cfg.output_dir, name, "edges.png")
+            if not os.path.exists(p):
+                continue
+            e = read_image(p, gray=True)
         m = e > 0
         if m.any():
             canvas[m] = colors[name]

@@ -17,29 +17,39 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PipelineConfig
+from ..ops.bitpack import bitpack_rows, unpack_rows
 from ..ops.thinning import zhang_suen
-from ..utils import read_image, save_pickle
+from ..utils import fetch_device_artifact, read_image, save_pickle
 from ..vector.trace import trace_skeleton_fast
 from .common import layer_dir
 
 
 @partial(jax.jit, static_argnames=())
 def _thin_batched(edges):
-    # natively layer-batched; uint8 out quarters the device→host transfer
-    return zhang_suen(edges, max_iter=120, rotated=True).astype(jnp.uint8)
+    # natively layer-batched; bit-packed output (8 px/byte d2h transfer)
+    return bitpack_rows(zhang_suen(edges, max_iter=120, rotated=True))
 
 
 def run(cfg: PipelineConfig) -> None:
     names = list(cfg.color_names)
     edge_imgs = []
+    all_dev = True
     for name in names:
         p = os.path.join(cfg.output_dir, name, "edges.png")
-        if not os.path.exists(p):
-            raise FileNotFoundError(f"Edges not found: {p}")
-        edge_imgs.append(read_image(p, gray=True))
+        e = fetch_device_artifact(p)
+        if e is None:
+            all_dev = False
+            if not os.path.exists(p):
+                raise FileNotFoundError(f"Edges not found: {p}")
+            e = read_image(p, gray=True)
+        edge_imgs.append(e)
 
     t0 = time.perf_counter()
-    skeletons = np.asarray(_thin_batched(np.stack(edge_imgs, axis=0)))
+    if all_dev:
+        batch = jnp.stack(edge_imgs, axis=0)
+    else:
+        batch = np.stack([np.asarray(e) for e in edge_imgs], axis=0)
+    skeletons = unpack_rows(_thin_batched(batch), batch.shape[-1])
     print(f"[vectorize] thinning (batched, {len(names)} layers): {time.perf_counter() - t0:.2f}s")
 
     min_len = int(cfg.thinning_min_segment_len)

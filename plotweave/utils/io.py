@@ -48,3 +48,54 @@ def write_image(path: str, img: np.ndarray) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if not cv2.imwrite(path, np.asarray(img)):
         raise IOError(f"cannot write image: {path}")
+
+
+# --------------------------------------------------------------- handoff
+#
+# In-process device-artifact handoff: when consecutive stages run in one
+# process, the producing stage registers the device-resident array backing a
+# just-written image artifact, and the consumer fetches it instead of
+# re-uploading the file over the (slow, high-variance) host↔device link.
+# The on-disk artifact remains the source of truth: entries are validated
+# against the file's (mtime_ns, size) signature, so any resume, rerun, or
+# external rewrite falls back to disk reads with identical bytes.
+
+from collections import OrderedDict  # noqa: E402
+
+_DEVICE_HANDOFF: "OrderedDict[str, tuple]" = OrderedDict()
+_DEVICE_HANDOFF_CAP = 24
+
+
+def _stat_sig(path: str):
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
+def register_device_artifact(path: str, arr) -> None:
+    """Associate a device array with an already-written artifact file."""
+    try:
+        sig = _stat_sig(path)
+    except OSError:
+        return
+    key = os.path.abspath(path)
+    _DEVICE_HANDOFF.pop(key, None)
+    _DEVICE_HANDOFF[key] = (sig, arr)
+    while len(_DEVICE_HANDOFF) > _DEVICE_HANDOFF_CAP:
+        _DEVICE_HANDOFF.popitem(last=False)
+
+
+def fetch_device_artifact(path: str):
+    """Device array registered for ``path``, or None if absent/stale."""
+    key = os.path.abspath(path)
+    ent = _DEVICE_HANDOFF.get(key)
+    if ent is None:
+        return None
+    try:
+        fresh = _stat_sig(path) == ent[0]
+    except OSError:
+        fresh = False
+    if not fresh:
+        _DEVICE_HANDOFF.pop(key, None)
+        return None
+    _DEVICE_HANDOFF.move_to_end(key)
+    return ent[1]
