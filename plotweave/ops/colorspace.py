@@ -47,7 +47,7 @@ def bgr_to_lab_u8(img: jax.Array) -> jax.Array:
     bgr = img.astype(jnp.float32) / 255.0
     rgb = bgr[..., ::-1]
     lin = _srgb_gamma_inv(rgb)
-    xyz = jnp.einsum("ij,...j->...i", _M, lin) / _WHITE
+    xyz = jnp.einsum("ij,...j->...i", _M, lin, precision=jax.lax.Precision.HIGHEST) / _WHITE
     fx, fy, fz = _f(xyz[..., 0]), _f(xyz[..., 1]), _f(xyz[..., 2])
     L = 116.0 * fy - 16.0
     a = 500.0 * (fx - fy)
@@ -65,7 +65,7 @@ def lab_u8_to_bgr(lab: jax.Array) -> jax.Array:
     fx = fy + a / 500.0
     fz = fy - b / 200.0
     xyz = jnp.stack([_f_inv(fx), _f_inv(fy), _f_inv(fz)], axis=-1) * _WHITE
-    lin = jnp.einsum("ij,...j->...i", jnp.linalg.inv(_M), xyz)
+    lin = jnp.einsum("ij,...j->...i", jnp.linalg.inv(_M), xyz, precision=jax.lax.Precision.HIGHEST)
     rgb = jnp.clip(_srgb_gamma(jnp.clip(lin, 0.0, None)), 0.0, 1.0)
     bgr = rgb[..., ::-1]
     return jnp.clip(jnp.rint(bgr * 255.0), 0, 255).astype(jnp.uint8)

@@ -26,9 +26,11 @@ def _lloyd(data: jax.Array, init_centers: jax.Array, iters: int, eps: float = 0.
     n, d = data.shape
     k = init_centers.shape[0]
     sq = jnp.sum(data * data, axis=1, keepdims=True)
+    hi = jax.lax.Precision.HIGHEST  # TPU: full-f32 dots — bf16 passes would
+    # corrupt the 200k-row center sums and flip near-tie assignments
 
     def assign(centers):
-        d2 = sq - 2.0 * data @ centers.T + jnp.sum(centers * centers, axis=1)
+        d2 = sq - 2.0 * jnp.matmul(data, centers.T, precision=hi) + jnp.sum(centers * centers, axis=1)
         return jnp.argmin(d2, axis=1), d2
 
     def body(state):
@@ -36,7 +38,7 @@ def _lloyd(data: jax.Array, init_centers: jax.Array, iters: int, eps: float = 0.
         labels, d2 = assign(centers)
         one_hot = jax.nn.one_hot(labels, k, dtype=data.dtype)
         counts = one_hot.sum(axis=0)
-        sums = one_hot.T @ data
+        sums = jnp.matmul(one_hot.T, data, precision=hi)
         new_centers = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), centers)
         shift = jnp.max(jnp.sqrt(jnp.sum((new_centers - centers) ** 2, axis=1)))
         return new_centers, shift, it + 1, jnp.min(d2, axis=1).sum()
@@ -112,7 +114,7 @@ def kmeans(
     full = jnp.asarray(data)
     d2 = (
         jnp.sum(full * full, axis=1, keepdims=True)
-        - 2.0 * full @ centers.T
+        - 2.0 * jnp.matmul(full, centers.T, precision=jax.lax.Precision.HIGHEST)
         + jnp.sum(centers * centers, axis=1)
     )
     labels = jnp.argmin(d2, axis=1).astype(jnp.int32)

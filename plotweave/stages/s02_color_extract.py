@@ -63,7 +63,7 @@ def _fit_assign_masks(lab, sample, inits, k: int, iters: int, open_iters: int, c
     flat = lab.reshape(-1, 3)
     d2 = (
         jnp.sum(flat * flat, axis=1, keepdims=True)
-        - 2.0 * flat @ best_centers.T
+        - 2.0 * jnp.matmul(flat, best_centers.T, precision=jax.lax.Precision.HIGHEST)
         + jnp.sum(best_centers * best_centers, axis=1)
     )
     labels = jnp.argmin(d2, axis=1).reshape(lab.shape[:2])
