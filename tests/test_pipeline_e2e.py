@@ -28,10 +28,17 @@ GOLDEN = Path(__file__).parent / "golden" / "e2e"
 # two reference-run configurations: the default-ish one and a variant with
 # asymmetric margins, a color-by-order remap, tighter dedup parameters and
 # different Canny settings (only reference-HONORED keys — see SURVEY §2.1)
-CONFIGS = [("base_cfg.json", "ref_artifacts.tar.gz"), ("base_cfg2.json", "ref_artifacts2.tar.gz")]
+CONFIGS = [
+    ("base_cfg.json", "ref_artifacts.tar.gz"),
+    ("base_cfg2.json", "ref_artifacts2.tar.gz"),
+    # 8 layers: darkness-rank ties (stable sort), the step-12 color-index
+    # fallback branch, an out-of-range stream_color_by_name entry (&7), and
+    # heavier cross-layer dedup (regenerate: tests/tools/gen_e2e_goldens.py)
+    ("cfg3_8layers.json", "ref_artifacts3.tar.gz"),
+]
 
 
-@pytest.fixture(scope="module", params=CONFIGS, ids=["default", "variant"])
+@pytest.fixture(scope="module", params=CONFIGS, ids=["default", "variant", "8layers"])
 def runs(request, tmp_path_factory):
     cfg_name, tar_name = request.param
     base = tmp_path_factory.mktemp("e2e")
@@ -43,7 +50,7 @@ def runs(request, tmp_path_factory):
     mine_dir = base / "mine"
     mine_dir.mkdir()
     cfg_dict = json.loads((GOLDEN / cfg_name).read_text())
-    cfg_dict["input_image"] = str(GOLDEN / "testimg.png")
+    cfg_dict["input_image"] = str(GOLDEN / Path(cfg_dict["input_image"]).name)
     cfg_dict["output_dir"] = str(mine_dir)
     (mine_dir / "config.json").write_text(json.dumps(cfg_dict))
 
@@ -52,10 +59,8 @@ def runs(request, tmp_path_factory):
 
     cfg = load_config(str(mine_dir / "config.json"))
     run_pipeline(cfg, 1, 13)
-    return ref_dir, mine_dir
+    return ref_dir, mine_dir, list(cfg_dict["color_names"])
 
-
-LAYERS = ["layer_dark", "layer_mid", "layer_skin", "layer_light"]
 
 
 def _cmp_pkl(a: Path, b: Path) -> None:
@@ -77,8 +82,8 @@ def _cmp_pkl(a: Path, b: Path) -> None:
 def test_raster_artifacts_identical(runs, fname):
     import cv2
 
-    ref, mine = runs
-    for layer in LAYERS:
+    ref, mine, layers = runs
+    for layer in layers:
         a = cv2.imread(str(ref / layer / fname), cv2.IMREAD_GRAYSCALE)
         b = cv2.imread(str(mine / layer / fname), cv2.IMREAD_GRAYSCALE)
         assert a is not None and b is not None
@@ -99,20 +104,20 @@ def test_raster_artifacts_identical(runs, fname):
     ],
 )
 def test_vector_artifacts_identical(runs, fname):
-    ref, mine = runs
-    for layer in LAYERS:
+    ref, mine, layers = runs
+    for layer in layers:
         _cmp_pkl(ref / layer / fname, mine / layer / fname)
 
 
 def test_manifest_identical(runs):
-    ref, mine = runs
+    ref, mine, _layers = runs
     assert json.loads((ref / "vector_manifest.json").read_text()) == json.loads(
         (mine / "vector_manifest.json").read_text()
     )
 
 
 def test_stream_byte_identical(runs):
-    ref, mine = runs
+    ref, mine, _layers = runs
     a = (ref / "plot_stream.bin").read_bytes()
     b = (mine / "plot_stream.bin").read_bytes()
     assert a == b, (
@@ -124,7 +129,7 @@ def test_stream_byte_identical(runs):
 def test_stream_decodes_cleanly(runs):
     from plotweave.stream.decoder import StreamDecoder, replay
 
-    _, mine = runs
+    _, mine, _layers = runs
     dec = StreamDecoder((mine / "plot_stream.bin").read_bytes())
     man = json.loads((mine / "vector_manifest.json").read_text())
     W, H = man["image_size"]
@@ -138,8 +143,8 @@ def test_per_layer_previews_identical(runs, fname):
     """Per-layer previews render in black with the same cv2 calls → bytes."""
     import cv2
 
-    ref, mine = runs
-    for layer in LAYERS:
+    ref, mine, layers = runs
+    for layer in layers:
         a = cv2.imread(str(ref / layer / fname))
         b = cv2.imread(str(mine / layer / fname))
         assert a is not None and b is not None
@@ -149,7 +154,7 @@ def test_per_layer_previews_identical(runs, fname):
 def test_edges_composite_identical(runs):
     import cv2
 
-    ref, mine = runs
+    ref, mine, _layers = runs
     a = cv2.imread(str(ref / "edges_composite.png"))
     b = cv2.imread(str(mine / "edges_composite.png"))
     assert (a == b).all()
@@ -166,7 +171,7 @@ def test_composites_near_identical(runs, fname):
     differ structurally.  Bound it."""
     import cv2
 
-    ref, mine = runs
+    ref, mine, _layers = runs
     a = cv2.imread(str(ref / fname))
     b = cv2.imread(str(mine / fname))
     assert a is not None and b is not None and a.shape == b.shape
