@@ -107,6 +107,33 @@ def run_pipeline(
         print(f"[{i + 1}/{MAX_STEP}] done in {time.perf_counter() - t0:.2f}s", flush=True)
 
 
+def run_pipeline_batch(
+    cfgs: List[PipelineConfig],
+    start_step: int = 1,
+    end_step: int = 13,
+    workers: int = 0,
+) -> List[float]:
+    """Throughput mode for many images (BASELINE config 4): each image runs
+    the full pipeline; a host thread pool overlaps one image's host-side
+    stages (tracing, dedup, stream emission, PNG encodes) with the device
+    work of the others.  Images are independent, so outputs are byte-for-byte
+    the same as sequential runs.  Returns per-image wall seconds."""
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    if not workers:
+        workers = min(4, max(1, len(cfgs)))
+
+    def one(cfg: PipelineConfig) -> float:
+        t0 = time.perf_counter()
+        run_pipeline(cfg, start_step, end_step)
+        return time.perf_counter() - t0
+
+    if workers == 1 or len(cfgs) == 1:
+        return [one(c) for c in cfgs]
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(one, cfgs))
+
+
 def parse_args(argv=None):
     ap = argparse.ArgumentParser(prog="plotweave", description="Raster → plotter-stream pipeline (TPU-native)")
     ap.add_argument("input_image", nargs="?", help="Input raster image")
@@ -119,7 +146,41 @@ def parse_args(argv=None):
     ap.add_argument("--target-height-mm", type=int, dest="target_height_mm")
     ap.add_argument("--colors", dest="colors_json", help="BGR swatches as JSON, e.g. [[0,0,0],[255,0,0]]")
     ap.add_argument("--backend", choices=["exact", "tpu"], default=None, help="compute backend override")
+    ap.add_argument(
+        "--batch-dir",
+        help="process every image in this directory (one <output>/<stem>/ run each, "
+        "host threads overlapping device work); ignores input_image",
+    )
+    ap.add_argument("--workers", type=int, default=0, help="batch mode: host worker threads (default min(4, n))")
     return ap.parse_args(argv)
+
+
+def _main_batch(args, base: PipelineConfig, overrides: dict) -> None:
+    exts = {".png", ".jpg", ".jpeg", ".bmp", ".webp", ".tif", ".tiff"}
+    images = sorted(
+        os.path.join(args.batch_dir, f)
+        for f in os.listdir(args.batch_dir)
+        if os.path.splitext(f)[1].lower() in exts
+    )
+    if not images:
+        print(f"error: no images in {args.batch_dir}", file=sys.stderr)
+        sys.exit(2)
+    cfgs = []
+    for img in images:
+        stem = os.path.splitext(os.path.basename(img))[0]
+        out = os.path.join(args.output_dir, stem)
+        os.makedirs(out, exist_ok=True)
+        ov = dict(overrides, input_image=img, output_dir=out)
+        cfg_file = save_config(base, os.path.join(out, "config.json"), ov)
+        cfgs.append(load_config(cfg_file))
+    print(f"Batch: {len(images)} images → {args.output_dir} ({args.workers or min(4, len(images))} workers)")
+    t0 = time.perf_counter()
+    times = run_pipeline_batch(cfgs, args.start_step, min(args.end_step, 13), workers=args.workers)
+    wall = time.perf_counter() - t0
+    print(
+        f"\nBatch done: {len(images)} images in {wall:.1f}s wall "
+        f"({wall / len(images):.2f}s/image; per-image sum {sum(times):.1f}s)"
+    )
 
 
 def main(argv=None) -> None:
@@ -143,6 +204,12 @@ def main(argv=None) -> None:
             overrides["colors"] = json.loads(args.colors_json)
         except json.JSONDecodeError as e:
             print(f"Failed to parse --colors JSON: {e}", file=sys.stderr)
+
+    if args.batch_dir:
+        overrides.pop("input_image", None)
+        overrides.pop("output_dir", None)
+        _main_batch(args, base, overrides)
+        return
 
     cfg_file = save_config(base, os.path.join(args.output_dir, "config.json"), overrides)
     print("Config saved to", cfg_file)

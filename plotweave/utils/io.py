@@ -60,10 +60,12 @@ def write_image(path: str, img: np.ndarray) -> None:
 # against the file's (mtime_ns, size) signature, so any resume, rerun, or
 # external rewrite falls back to disk reads with identical bytes.
 
+import threading  # noqa: E402
 from collections import OrderedDict  # noqa: E402
 
 _DEVICE_HANDOFF: "OrderedDict[str, tuple]" = OrderedDict()
 _DEVICE_HANDOFF_CAP = 24
+_DEVICE_HANDOFF_LOCK = threading.Lock()  # batch mode runs stages from threads
 
 
 def _stat_sig(path: str):
@@ -78,24 +80,28 @@ def register_device_artifact(path: str, arr) -> None:
     except OSError:
         return
     key = os.path.abspath(path)
-    _DEVICE_HANDOFF.pop(key, None)
-    _DEVICE_HANDOFF[key] = (sig, arr)
-    while len(_DEVICE_HANDOFF) > _DEVICE_HANDOFF_CAP:
-        _DEVICE_HANDOFF.popitem(last=False)
+    with _DEVICE_HANDOFF_LOCK:
+        _DEVICE_HANDOFF.pop(key, None)
+        _DEVICE_HANDOFF[key] = (sig, arr)
+        while len(_DEVICE_HANDOFF) > _DEVICE_HANDOFF_CAP:
+            _DEVICE_HANDOFF.popitem(last=False)
 
 
 def fetch_device_artifact(path: str):
     """Device array registered for ``path``, or None if absent/stale."""
     key = os.path.abspath(path)
-    ent = _DEVICE_HANDOFF.get(key)
+    with _DEVICE_HANDOFF_LOCK:
+        ent = _DEVICE_HANDOFF.get(key)
     if ent is None:
         return None
     try:
         fresh = _stat_sig(path) == ent[0]
     except OSError:
         fresh = False
-    if not fresh:
-        _DEVICE_HANDOFF.pop(key, None)
-        return None
-    _DEVICE_HANDOFF.move_to_end(key)
+    with _DEVICE_HANDOFF_LOCK:
+        if not fresh:
+            _DEVICE_HANDOFF.pop(key, None)
+            return None
+        if key in _DEVICE_HANDOFF:
+            _DEVICE_HANDOFF.move_to_end(key)
     return ent[1]

@@ -1,0 +1,75 @@
+"""Batch throughput mode: thread-pooled full pipelines must produce outputs
+byte-identical to sequential single-image runs."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from plotweave.config import load_config
+from plotweave.pipeline import run_pipeline, run_pipeline_batch
+
+
+def _make_image(path: Path, seed: int) -> None:
+    rng = np.random.default_rng(seed)
+    img = np.zeros((120, 160, 3), np.uint8)
+    img[:, :] = (235, 230, 225)
+    colors = [(20, 20, 20), (40, 60, 200), (140, 180, 220)]
+    for _ in range(10):
+        c = colors[int(rng.integers(0, 3))]
+        x, y = int(rng.integers(0, 160)), int(rng.integers(0, 120))
+        r = int(rng.integers(6, 30))
+        cv2.circle(img, (x, y), r, c, -1)
+    cv2.imwrite(str(path), img)
+
+
+def _cfg(img: Path, out: Path) -> dict:
+    return {
+        "input_image": str(img),
+        "output_dir": str(out),
+        "colors": [[20, 20, 20], [40, 60, 200], [140, 180, 220], [235, 230, 225]],
+        "color_names": ["layer_dark", "layer_mid", "layer_skin", "layer_light"],
+        "target_width_mm": 80,
+        "target_height_mm": 60,
+        "pixels_per_mm": 2,
+        "pen_width_px": 8,
+        "pen_radius_px": 4,
+    }
+
+
+@pytest.mark.parametrize("workers", [3])
+def test_batch_equals_sequential(tmp_path, workers):
+    imgs = []
+    for i in range(3):
+        p = tmp_path / f"img{i}.png"
+        _make_image(p, seed=10 + i)
+        imgs.append(p)
+
+    def build(tag):
+        cfgs = []
+        for i, img in enumerate(imgs):
+            out = tmp_path / tag / f"run{i}"
+            out.mkdir(parents=True)
+            (out / "config.json").write_text(json.dumps(_cfg(img, out)))
+            cfgs.append(load_config(str(out / "config.json")))
+        return cfgs
+
+    seq = build("seq")
+    for c in seq:
+        run_pipeline(c, 1, 13)
+    par = build("par")
+    times = run_pipeline_batch(par, 1, 13, workers=workers)
+    assert len(times) == 3
+
+    for a, b in zip(seq, par):
+        sa = (Path(a.output_dir) / "plot_stream.bin").read_bytes()
+        sb = (Path(b.output_dir) / "plot_stream.bin").read_bytes()
+        assert sa == sb
+        for layer in ["layer_dark", "layer_mid", "layer_skin", "layer_light"]:
+            ma = cv2.imread(str(Path(a.output_dir) / layer / "mask.png"), cv2.IMREAD_GRAYSCALE)
+            mb = cv2.imread(str(Path(b.output_dir) / layer / "mask.png"), cv2.IMREAD_GRAYSCALE)
+            assert ma is not None and mb is not None and (ma == mb).all()
