@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
-"""Benchmark: fused raster front-end megapixels/sec on the available device.
+"""Benchmark (the BASELINE.json metric): end-to-end image→stream Mpx/s.
 
-Workload: 2000×1500 uint8 image → 4 color layers → morphology → Gaussian →
-Canny → Zhang–Suen skeletons, one jitted program (stages 01–04's dense
-compute).  Baseline: the same work through the reference's own
-implementations, single-core CPU (cv2 single-thread + its numpy thinning),
-measured by tests/tools/measure_reference_baseline.py on this host.
+Default: the full 13-stage pipeline (1024×768, 4 color layers) against the
+reference pipeline measured single-core on this host (189.5 s → 0.0042
+Mpx/s).  ``--frontend`` instead measures the fused stage-01–04 device
+program (2000×1500 → 4 layers → morphology → Gaussian → Canny → Zhang–Suen)
+against the reference's cv2/numpy single-core equivalents (0.9643 Mpx/s,
+tests/tools/measure_reference_baseline.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -40,7 +41,7 @@ def synth_image(h=1500, w=2000, seed=0):
 
 
 def bench_e2e() -> None:
-    """Secondary benchmark (--e2e): full image→stream pipeline Mpx/s.
+    """Primary benchmark: full image→stream pipeline Mpx/s.
 
     Baseline measured on this host: the reference pipeline (steps 1–13,
     subprocess-per-step, single-core cv2) on the same 1024×768 4-color image:
@@ -115,7 +116,9 @@ def bench_e2e() -> None:
 def main() -> None:
     import sys
 
-    if "--e2e" in sys.argv:
+    # Default = the BASELINE.json metric: end-to-end image→stream Mpx/s.
+    # --frontend measures the fused stage-01–04 device program in isolation.
+    if "--frontend" not in sys.argv:
         bench_e2e()
         return
 
