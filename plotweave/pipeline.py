@@ -152,6 +152,12 @@ def parse_args(argv=None):
         "host threads overlapping device work); ignores input_image",
     )
     ap.add_argument("--workers", type=int, default=0, help="batch mode: host worker threads (default min(4, n))")
+    ap.add_argument(
+        "--profile",
+        metavar="DIR",
+        help="capture a jax.profiler trace of the run into DIR (open with "
+        "TensorBoard / Perfetto) in addition to the per-stage wall-clock lines",
+    )
     return ap.parse_args(argv)
 
 
@@ -221,7 +227,14 @@ def main(argv=None) -> None:
     print("Input image:", cfg.input_image)
     print("Output dir: ", cfg.output_dir)
 
-    run_pipeline(cfg, args.start_step, args.end_step, on_error="exit")
+    if args.profile:
+        import jax  # noqa: PLC0415
+
+        with jax.profiler.trace(args.profile):
+            run_pipeline(cfg, args.start_step, args.end_step, on_error="exit")
+        print(f"\n[profile] trace written to {args.profile}")
+    else:
+        run_pipeline(cfg, args.start_step, args.end_step, on_error="exit")
     print("\nDone.")
 
 
