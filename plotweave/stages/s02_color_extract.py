@@ -75,8 +75,11 @@ def _fit_assign_masks(lab, sample, inits, k: int, iters: int, open_iters: int, c
     if close_iters > 0:
         masks = _morph(masks, "rect", 3, close_iters, "de")
     # masks are returned both packed (for the host transfer) and unpacked
-    # (device-resident, handed to stage 03 without ever crossing the link)
-    return best_centers, counts, bitpack_rows(masks), masks
+    # (device-resident, handed to stage 03 without ever crossing the link);
+    # centers+counts ride one array = one host fetch round trip
+    counts_bits = jax.lax.bitcast_convert_type(counts[:, None].astype(jnp.int32), jnp.float32)
+    stats = jnp.concatenate([best_centers, counts_bits], axis=1)
+    return stats, bitpack_rows(masks), masks
 
 
 def _swatch_mode(cfg: PipelineConfig, img: np.ndarray) -> None:
@@ -132,13 +135,21 @@ def run(cfg: PipelineConfig) -> None:
 
     lab_dev, sample_dev = _lab_and_sample(img, jnp.asarray(idx))
     sample = np.ascontiguousarray(sample_dev, dtype=np.float32)
-    inits = np.stack(
-        [
-            _kpp_init(sample, k, np.random.default_rng(seed + 1000 * a))
-            for a in range(int(cfg.kmeans_attempts))
-        ]
-    )
-    centers_dev, counts_dev, packed_dev, masks_dev = _fit_assign_masks(
+    # attempts are independent host work (distinct derived RNG streams) —
+    # thread them; each attempt's arithmetic is unchanged
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    attempts = int(cfg.kmeans_attempts)
+    with ThreadPoolExecutor(max_workers=min(8, max(1, attempts))) as pool:
+        inits = np.stack(
+            list(
+                pool.map(
+                    lambda a: _kpp_init(sample, k, np.random.default_rng(seed + 1000 * a)),
+                    range(attempts),
+                )
+            )
+        )
+    stats_dev, packed_dev, masks_dev = _fit_assign_masks(
         lab_dev,
         sample_dev,
         jnp.asarray(inits),
@@ -147,9 +158,10 @@ def run(cfg: PipelineConfig) -> None:
         int(cfg.extract_open_iters),
         int(cfg.extract_close_iters),
     )
-    centers = np.asarray(centers_dev)
+    stats = np.asarray(stats_dev)
+    centers = np.ascontiguousarray(stats[:, :3])
+    counts0 = np.ascontiguousarray(stats[:, 3]).view(np.int32)
     masks0 = unpack_rows(packed_dev, w) * np.uint8(255)
-    counts0 = np.asarray(counts_dev)
 
     # relabel dark→light by the L channel (reference 02:120-127)
     order = np.argsort(centers[:, 0])
