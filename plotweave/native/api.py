@@ -97,21 +97,33 @@ def trace_skeleton_native(
     lib = get_lib()
     if lib is None:
         return None
-    from ..vector.trace import default_labeler, degree_map  # noqa: PLC0415
+    from .loader import bind_skeleton_ops  # noqa: PLC0415
+    from ..vector.trace import default_labeler  # noqa: PLC0415
 
-    s = skel > 0
-    if not s.any():
+    bind_skeleton_ops(lib)
+    # the host here is memory-bandwidth-poor: avoid every avoidable full-res
+    # pass/copy (cv2 treats any nonzero as foreground, so 0/1 or 0/255 uint8
+    # input goes to the labeler as-is; the degree map is computed natively)
+    if skel.dtype == np.uint8:
+        m8 = np.ascontiguousarray(skel)
+    else:
+        m8 = np.ascontiguousarray((skel > 0).astype(np.uint8))
+    fg = int(np.count_nonzero(m8))
+    if fg == 0:
         return []
-    num, labels = (labeler or default_labeler)(s)
-    deg = degree_map(s)
-
-    labels = np.ascontiguousarray(labels.astype(np.int32))
-    deg = np.ascontiguousarray(deg.astype(np.uint8))
+    num, labels = (labeler or default_labeler)(m8)
+    labels = np.ascontiguousarray(labels.astype(np.int32, copy=False))
     h, w = labels.shape
-    fg = int(s.sum())
+    deg = np.empty((h, w), np.uint8)
+    lib.pw_degree(
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        h,
+        w,
+        deg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
     # cycle walks may legitimately revisit pixels (guarded at 4× per walk,
     # reference semantics), so total output can far exceed fg: grow on demand
-    cap_pts = fg * 8 + 64
+    cap_pts = fg * 16 + 64
     n = -1
     for _ in range(6):
         cap_paths = max(fg + 16, cap_pts // 2)
@@ -133,13 +145,11 @@ def trace_skeleton_native(
         cap_pts *= 4
     if n < 0:
         return None  # pathological: fall back to the Python tracer
-    paths: List[np.ndarray] = []
-    off = 0
-    for i in range(n):
-        ln = int(out_lens[i])
-        paths.append(out_xy[off : off + ln].copy().reshape(-1, 1, 2))
-        off += ln
-    return paths
+    # one compaction copy, then disjoint views into it (no per-path copies)
+    lens = out_lens[:n].astype(np.int64, copy=False)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    buf = out_xy[: offs[-1]].copy()
+    return [buf[offs[i] : offs[i + 1]].reshape(-1, 1, 2) for i in range(n)]
 
 
 class LineStampTable:

@@ -741,3 +741,24 @@ extern "C" int64_t pw_comp_path(const int32_t* lab, int h, int w, int cc,
     int64_t m = geodesic(lab, h, w, cc, u, v, b, out_yx, cap);
     return m >= need ? m : 0;
 }
+
+// 8-neighbor foreground degree from a component label image (labels != 0 is
+// foreground) — identical to vector.trace.degree_map on the same mask.
+extern "C" void pw_degree(const int32_t* labels, int h, int w, uint8_t* out) {
+    for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x++) {
+            int d = 0;
+            for (int dy = -1; dy <= 1; dy++) {
+                int ny = y + dy;
+                if (ny < 0 || ny >= h) continue;
+                for (int dx = -1; dx <= 1; dx++) {
+                    if (!dy && !dx) continue;
+                    int nx = x + dx;
+                    if (nx < 0 || nx >= w) continue;
+                    d += labels[(size_t)ny * w + nx] != 0;
+                }
+            }
+            out[(size_t)y * w + x] = (uint8_t)d;
+        }
+    }
+}

@@ -160,4 +160,10 @@ def bind_skeleton_ops(lib: ctypes.CDLL) -> None:
         ctypes.c_int64,
     ]
     lib.pw_comp_path.restype = ctypes.c_int64
+    lib.pw_degree.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib._pw_skel_bound = True

@@ -55,7 +55,7 @@ def run(cfg: PipelineConfig) -> None:
     min_len = int(cfg.thinning_min_segment_len)
     for name, skel in zip(names, skeletons):
         t1 = time.perf_counter()
-        paths = trace_skeleton_fast(skel.astype(np.uint8) * 255)
+        paths = trace_skeleton_fast(skel)  # 0/1 uint8: tracers accept any nonzero
         paths = [p for p in paths if len(p) >= min_len]
         out = os.path.join(layer_dir(cfg, name), "contours.pkl")
         save_pickle(paths, out)

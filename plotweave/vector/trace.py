@@ -102,7 +102,7 @@ def default_labeler(mask: np.ndarray) -> tuple[int, np.ndarray]:
     try:
         import cv2  # noqa: PLC0415
 
-        return cv2.connectedComponents(mask.astype(np.uint8), connectivity=8)
+        return cv2.connectedComponents(mask.astype(np.uint8, copy=False), connectivity=8)
     except ImportError:
         return connected_components(mask)
 

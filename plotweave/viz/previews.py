@@ -31,12 +31,17 @@ def render_layer(
     w, h = size_wh
     img = np.full((h, w, 3), 255, np.uint8)
     lt = cv2.LINE_AA if antialiased else cv2.LINE_8
-    for p in lines:
-        if p is None:
-            continue
-        arr = as_pts(p).reshape(-1, 1, 2).astype(np.int32)
-        if len(arr) >= 2:
-            cv2.polylines(img, [arr], False, color, thickness, lt)
+    # one cv2 call for all polylines (each is still drawn independently, in
+    # order — identical pixels to per-contour calls, ~100× fewer crossings)
+    arrs = [
+        a
+        for p in lines
+        if p is not None
+        for a in (as_pts(p).reshape(-1, 1, 2).astype(np.int32),)
+        if len(a) >= 2
+    ]
+    if arrs:
+        cv2.polylines(img, arrs, False, color, thickness, lt)
     if taps:
         for x, y in taps:
             cv2.circle(img, (int(x), int(y)), int(tap_radius), tap_color or color, -1, cv2.LINE_AA)

@@ -149,3 +149,49 @@ def test_native_component_path_fuzz_identical_to_python():
             ab = a1 if (a1 is not None and comp[a1]) else None
             ref = _component_path(comp, aa, ab, min_len=min_len)
             assert native == [(int(y), int(x)) for (y, x) in ref]
+
+
+def test_native_degree_matches_python():
+    import cv2
+
+    from plotweave.native.api import get_lib
+    from plotweave.native.loader import bind_skeleton_ops
+    from plotweave.vector.trace import degree_map
+    import ctypes
+
+    lib = get_lib()
+    bind_skeleton_ops(lib)
+    rng = np.random.default_rng(4)
+    for _ in range(8):
+        h, w = int(rng.integers(4, 80)), int(rng.integers(4, 80))
+        m = (rng.random((h, w)) < 0.4).astype(np.uint8)
+        num, lab = cv2.connectedComponents(m, connectivity=8)
+        lab = np.ascontiguousarray(lab.astype(np.int32))
+        out = np.empty((h, w), np.uint8)
+        lib.pw_degree(
+            lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        np.testing.assert_array_equal(out, degree_map(m))
+
+
+def test_native_trace_cycle_heavy_matches_python():
+    """Overlapping circles make junction-rich components whose cycle walks
+    revisit heavily (capacity-retry path) — outputs must still match."""
+    import cv2
+
+    from plotweave.ops import zhang_suen
+    from plotweave.vector.trace import trace_skeleton
+    from plotweave.native.api import trace_skeleton_native
+
+    rng = np.random.default_rng(9)
+    img = np.zeros((160, 200), np.uint8)
+    for _ in range(25):
+        x, y = int(rng.integers(0, 200)), int(rng.integers(0, 160))
+        cv2.circle(img, (x, y), int(rng.integers(8, 50)), 255, 1)
+    skel = (np.asarray(zhang_suen(img, 120, True)) > 0).astype(np.uint8)
+    a = trace_skeleton_native(skel)
+    b = trace_skeleton(skel)
+    assert a is not None and len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
