@@ -96,80 +96,193 @@ def print_stats(dec: StreamDecoder, file=sys.stderr) -> None:
     print(f"final=({s.final_x}, {s.final_y})", file=file)
 
 
-def run_interactive(data: bytes, canvas_w: int, canvas_h: int, invert_y: bool, palette: List[BGR]) -> None:
-    """Minimal pygame playback: SPACE play/pause, RIGHT step ×500, R reset,
-    ESC quit.  Replays the decoded command list onto a surface."""
-    import pygame  # noqa: PLC0415
+class PlaybackEngine:
+    """Headless playback core for the interactive simulator (reference
+    previewer's play/pause/step/seek/zoom, previewer:412-503).
 
-    from ..stream.decoder import COLOR, PEN, STEP  # noqa: PLC0415
-    from ..stream.protocol import DIR_VECTORS, B_PEN_DOWN, B_PEN_UP, B_TAP  # noqa: PLC0415
+    Maintains the pen state machine over the decoded command list and calls
+    ``draw_line(x0, y0, x1, y1, color_idx)`` / ``draw_tap(x, y, color_idx)``
+    for visible marks.  Backward seeks restore the nearest (state, canvas)
+    snapshot — ``save_canvas``/``restore_canvas`` callbacks own the pixels —
+    then replay forward, so any position is reachable deterministically."""
+
+    def __init__(self, commands, draw_line, draw_tap, save_canvas, restore_canvas, snapshot_every: int = 50_000):
+        from ..stream.decoder import COLOR, PEN, STEP  # noqa: PLC0415
+        from ..stream.protocol import DIR_VECTORS, B_PEN_DOWN, B_PEN_UP, B_TAP  # noqa: PLC0415
+
+        self._c = (STEP, PEN, COLOR, DIR_VECTORS, B_PEN_DOWN, B_PEN_UP, B_TAP)
+        self.commands = commands
+        self.draw_line = draw_line
+        self.draw_tap = draw_tap
+        self.save_canvas = save_canvas
+        self.restore_canvas = restore_canvas
+        self.snapshot_every = max(1, snapshot_every)
+        self._snaps = {}  # i -> (x, y, pen, color_idx, canvas token)
+        self.reset()
+
+    def reset(self) -> None:
+        self.i = 0
+        self.x = self.y = 0
+        self.pen = False
+        self.color_idx = 0
+
+    def clear_snapshots(self) -> None:
+        """Call after any viewport change — cached canvases are stale."""
+        self._snaps.clear()
+
+    def _step_one(self) -> None:
+        STEP, PEN, COLOR, DIRV, DOWN, UP, TAP = self._c
+        kind, v = self.commands[self.i]
+        if kind == STEP:
+            nx, ny = self.x + int(DIRV[v][0]), self.y + int(DIRV[v][1])
+            if self.pen:
+                self.draw_line(self.x, self.y, nx, ny, self.color_idx)
+            self.x, self.y = nx, ny
+        elif kind == PEN:
+            if v == DOWN:
+                self.pen = True
+            elif v == UP:
+                self.pen = False
+            elif v == TAP:
+                self.draw_tap(self.x, self.y, self.color_idx)
+                self.pen = False
+        elif kind == COLOR:
+            self.color_idx = v
+        self.i += 1
+
+    def seek(self, target: int) -> None:
+        """Move the cursor to ``target`` (clamped), replaying as needed."""
+        target = max(0, min(target, len(self.commands)))
+        if target < self.i:
+            # restore the nearest snapshot at or before target
+            cand = [k for k in self._snaps if k <= target]
+            if cand:
+                k = max(cand)
+                self.i, self.x, self.y, self.pen, self.color_idx, tok = self._snaps[k]
+                self.restore_canvas(tok)
+            else:
+                self.reset()
+                self.restore_canvas(None)  # None = blank canvas
+        while self.i < target:
+            self._step_one()
+            if self.i % self.snapshot_every == 0 and self.i not in self._snaps:
+                self._snaps[self.i] = (self.i, self.x, self.y, self.pen, self.color_idx, self.save_canvas())
+
+    def advance(self, n: int) -> None:
+        self.seek(self.i + n)
+
+    @property
+    def done(self) -> bool:
+        return self.i >= len(self.commands)
+
+
+def run_interactive(data: bytes, canvas_w: int, canvas_h: int, invert_y: bool, palette: List[BGR]) -> None:
+    """Interactive pygame playback (reference previewer parity):
+
+    SPACE play/pause · RIGHT/LEFT step ±500 · PgDn/PgUp seek ±50k ·
+    HOME/END start/end · UP/DOWN playback speed ×2/÷2 · +/- zoom ·
+    W/A/S/D pan · R reset view+position · ESC quit."""
+    import pygame  # noqa: PLC0415
 
     dec = StreamDecoder(data)
     pygame.init()
     W, Hpx = 1200, 900
     screen = pygame.display.set_mode((W, Hpx))
-    pygame.display.set_caption("plotweave stream preview")
-    scale = min(W / canvas_w, Hpx / canvas_h)
-
-    def to_px(x, y):
-        return int(x * scale), int((canvas_h - 1 - y) * scale) if invert_y else int(y * scale)
-
+    base_scale = min(W / canvas_w, Hpx / canvas_h)
+    zoom = 1.0
+    off_x = off_y = 0.0
     surf = pygame.Surface((W, Hpx))
     surf.fill((255, 255, 255))
-    x = y = 0
-    pen = False
-    color = palette[0]
-    i = 0
+
+    def to_px(x, y):
+        yy = (canvas_h - 1 - y) if invert_y else y
+        return (int(x * base_scale * zoom + off_x), int(yy * base_scale * zoom + off_y))
+
+    def draw_line(x0, y0, x1, y1, ci):
+        pygame.draw.line(surf, palette[min(ci, len(palette) - 1)], to_px(x0, y0), to_px(x1, y1), 1)
+
+    def draw_tap(x, y, ci):
+        pygame.draw.circle(surf, palette[min(ci, len(palette) - 1)], to_px(x, y), max(2, int(5 * zoom)))
+
+    def save_canvas():
+        return surf.copy()
+
+    def restore_canvas(tok):
+        if tok is None:
+            surf.fill((255, 255, 255))
+        else:
+            surf.blit(tok, (0, 0))
+
+    eng = PlaybackEngine(
+        dec.commands, draw_line, draw_tap, save_canvas, restore_canvas,
+        snapshot_every=max(50_000, len(dec.commands) // 16),
+    )
+
+    def rerender():
+        """Re-render up to the current position after a viewport change."""
+        pos = eng.i
+        eng.clear_snapshots()
+        eng.reset()
+        restore_canvas(None)
+        eng.seek(pos)
+
     playing = False
+    speed = 5_000
     clock = pygame.time.Clock()
-
-    def step_once():
-        nonlocal x, y, pen, color, i
-        kind, v = dec.commands[i]
-        if kind == STEP:
-            dx, dy = int(DIR_VECTORS[v][0]), int(DIR_VECTORS[v][1])
-            nx, ny = x + dx, y + dy
-            if pen:
-                pygame.draw.line(surf, color, to_px(x, y), to_px(nx, ny), 1)
-            x, y = nx, ny
-        elif kind == PEN:
-            if v == B_PEN_DOWN:
-                pen = True
-            elif v == B_PEN_UP:
-                pen = False
-            elif v == B_TAP:
-                pygame.draw.circle(surf, color, to_px(x, y), 5)
-                pen = False
-        elif kind == COLOR:
-            color = palette[min(v, len(palette) - 1)]
-        i += 1
-
+    font = pygame.font.SysFont(None, 22)
     running = True
     while running:
         for e in pygame.event.get():
             if e.type == pygame.QUIT:
                 running = False
             elif e.type == pygame.KEYDOWN:
-                if e.key == pygame.K_ESCAPE:
+                k = e.key
+                if k == pygame.K_ESCAPE:
                     running = False
-                elif e.key == pygame.K_SPACE:
+                elif k == pygame.K_SPACE:
                     playing = not playing
-                elif e.key == pygame.K_RIGHT:
-                    for _ in range(500):
-                        if i < len(dec.commands):
-                            step_once()
-                elif e.key == pygame.K_r:
-                    surf.fill((255, 255, 255))
-                    x = y = 0
-                    pen = False
-                    i = 0
+                elif k == pygame.K_RIGHT:
+                    eng.advance(500)
+                elif k == pygame.K_LEFT:
+                    eng.seek(eng.i - 500)
+                elif k == pygame.K_PAGEDOWN:
+                    eng.advance(50_000)
+                elif k == pygame.K_PAGEUP:
+                    eng.seek(eng.i - 50_000)
+                elif k == pygame.K_HOME:
+                    eng.seek(0)
+                elif k == pygame.K_END:
+                    eng.seek(len(dec.commands))
+                elif k == pygame.K_UP:
+                    speed = min(200_000, speed * 2)
+                elif k == pygame.K_DOWN:
+                    speed = max(100, speed // 2)
+                elif k in (pygame.K_PLUS, pygame.K_EQUALS, pygame.K_KP_PLUS):
+                    zoom = min(32.0, zoom * 1.25)
+                    rerender()
+                elif k in (pygame.K_MINUS, pygame.K_KP_MINUS):
+                    zoom = max(0.1, zoom / 1.25)
+                    rerender()
+                elif k == pygame.K_a:
+                    off_x += 80; rerender()
+                elif k == pygame.K_d:
+                    off_x -= 80; rerender()
+                elif k == pygame.K_w:
+                    off_y += 80; rerender()
+                elif k == pygame.K_s:
+                    off_y -= 80; rerender()
+                elif k == pygame.K_r:
+                    zoom, off_x, off_y = 1.0, 0.0, 0.0
+                    eng.clear_snapshots()
+                    eng.reset()
+                    restore_canvas(None)
         if playing:
-            for _ in range(5000):
-                if i >= len(dec.commands):
-                    playing = False
-                    break
-                step_once()
+            eng.advance(speed)
+            if eng.done:
+                playing = False
         screen.blit(surf, (0, 0))
+        hud = f"{eng.i}/{len(dec.commands)} cmds  speed {speed}/frame  zoom {zoom:.2f}  [SPACE ←→ PgUp/Dn HOME END +/- WASD R ESC]"
+        screen.blit(font.render(hud, True, (40, 40, 40), (255, 255, 255)), (8, Hpx - 24))
         pygame.display.flip()
         clock.tick(60)
     pygame.quit()
