@@ -32,3 +32,21 @@ def test_pallas_thinning_batched():
     ref = np.asarray(zhang_suen(batch, rotated=True))
     got = np.asarray(zhang_suen_pallas(batch, rotated=True, interpret=True))
     assert (ref == got).all()
+
+
+def test_pallas_v2_bit_identical_interpret():
+    import numpy as np
+
+    from plotweave.ops.pallas_kernels import zhang_suen_pallas_v2
+    from plotweave.ops.thinning import zhang_suen
+
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        k = int(rng.integers(1, 4))
+        h = int(rng.integers(5, 200))
+        w = int(rng.integers(5, 200))
+        x = (rng.random((k, h, w)) < rng.uniform(0.2, 0.7)).astype(np.uint8) * 255
+        for rotated in (True, False):
+            ref = np.asarray(zhang_suen(x, 120, rotated)).astype(np.uint8)
+            got = np.asarray(zhang_suen_pallas_v2(x, 120, rotated, tile=64, interpret=True))
+            np.testing.assert_array_equal(ref, got)
