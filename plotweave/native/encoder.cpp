@@ -762,3 +762,62 @@ extern "C" void pw_degree(const int32_t* labels, int h, int w, uint8_t* out) {
         }
     }
 }
+
+// ------------------------------------------------------ greedy NN ordering
+//
+// Exact mirror of vector.sort.greedy_order's selection loop (reference
+// 07_sort_contours.py:50-88 and the 08/10 reorder variants): float32
+// endpoint distances, ascending-index scan with strict-< updates (first
+// minimum wins), open contours preferring their start on d2s <= d2e, closed
+// contours never flipped when closed_aware.  Endpoints arrive as float32 so
+// every arithmetic op matches the numpy expressions bit-for-bit.
+extern "C" void pw_greedy_order(const float* starts, const float* ends,
+                                const uint8_t* closed, int n,
+                                int closed_aware, int seed,
+                                int32_t* out_order, uint8_t* out_flips) {
+    std::vector<uint8_t> used(n, 0);
+    int cur = seed;
+    used[cur] = 1;
+    out_order[0] = cur;
+    out_flips[0] = 0;
+    float cx, cy;
+    if (closed_aware && closed[cur]) {
+        cx = starts[2 * cur];
+        cy = starts[2 * cur + 1];
+    } else {
+        cx = ends[2 * cur];
+        cy = ends[2 * cur + 1];
+    }
+    for (int step = 1; step < n; step++) {
+        int best = -1;
+        int flip = 0;
+        float bd = INFINITY;
+        for (int i = 0; i < n; i++) {
+            if (used[i]) continue;
+            float dsx = starts[2 * i] - cx, dsy = starts[2 * i + 1] - cy;
+            float d2s = dsx * dsx + dsy * dsy;
+            float dex = ends[2 * i] - cx, dey = ends[2 * i + 1] - cy;
+            float d2e = dex * dex + dey * dey;
+            if (closed_aware && closed[i]) {
+                if (d2s < bd) { bd = d2s; best = i; flip = 0; }
+            } else if (d2s <= d2e) {
+                if (d2s < bd) { bd = d2s; best = i; flip = 0; }
+            } else {
+                if (d2e < bd) { bd = d2e; best = i; flip = 1; }
+            }
+        }
+        used[best] = 1;
+        out_order[step] = best;
+        out_flips[step] = (uint8_t)flip;
+        if (closed_aware && closed[best]) {
+            cx = starts[2 * best];
+            cy = starts[2 * best + 1];
+        } else if (flip) {
+            cx = starts[2 * best];
+            cy = starts[2 * best + 1];
+        } else {
+            cx = ends[2 * best];
+            cy = ends[2 * best + 1];
+        }
+    }
+}

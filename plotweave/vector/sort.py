@@ -31,6 +31,36 @@ def _endpoints(poly: np.ndarray, strip_closed: bool) -> Tuple[np.ndarray, np.nda
     return pts[0], pts[-1], closed
 
 
+def _greedy_order_native(starts, ends, closed, closed_aware, seed):
+    """C++ selection loop (bit-identical float32 semantics, fuzz-tested);
+    None when the native library is unavailable."""
+    import ctypes  # noqa: PLC0415
+
+    from ..native.loader import bind_skeleton_ops, get_lib  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    bind_skeleton_ops(lib)
+    n = len(starts)
+    s32 = np.ascontiguousarray(starts, dtype=np.float32)
+    e32 = np.ascontiguousarray(ends, dtype=np.float32)
+    cl = np.ascontiguousarray(np.asarray(closed, dtype=bool), dtype=np.uint8)
+    order = np.empty(n, np.int32)
+    flips = np.empty(n, np.uint8)
+    lib.pw_greedy_order(
+        s32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        e32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+        1 if closed_aware else 0,
+        int(seed),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return [int(i) for i in order], [bool(f) for f in flips]
+
+
 def greedy_order(
     polys: Sequence[np.ndarray],
     lengths: Sequence[float],
@@ -42,8 +72,13 @@ def greedy_order(
     starts = np.array([_endpoints(c, closed_aware)[0] for c in polys])
     ends = np.array([_endpoints(c, closed_aware)[1] for c in polys])
 
-    used = np.zeros(n, dtype=bool)
     cur = int(np.argmax(lengths))
+
+    native = _greedy_order_native(starts, ends, closed, closed_aware, cur)
+    if native is not None:
+        return native
+
+    used = np.zeros(n, dtype=bool)
     order, flips = [cur], [False]
     used[cur] = True
     cur_end = starts[cur] if (closed_aware and closed[cur]) else ends[cur]

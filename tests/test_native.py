@@ -195,3 +195,41 @@ def test_native_trace_cycle_heavy_matches_python():
     assert a is not None and len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_native_greedy_order_fuzz_identical():
+    """The C++ selection loop vs the pure-Python one, with engineered ties
+    (duplicate endpoints) and both closed_aware modes."""
+    import os
+
+    from plotweave.vector import sort as vsort
+
+    rng = np.random.default_rng(21)
+    for trial in range(25):
+        n = int(rng.integers(2, 60))
+        polys = []
+        pool = rng.integers(0, 30, size=(max(4, n // 2), 2))  # small pool → ties
+        for _ in range(n):
+            m = int(rng.integers(2, 8))
+            pts = pool[rng.integers(0, len(pool), size=m)]
+            if rng.random() < 0.3:
+                pts = np.vstack([pts, pts[0:1]])  # closed
+            polys.append(pts.astype(np.int32).reshape(-1, 1, 2))
+        for closed_aware in (False, True):
+            closed = [bool(np.all(vsort.as_pts(p)[0] == vsort.as_pts(p)[-1])) and len(p) > 1 for p in polys]
+            lengths = [float(vsort.perimeter_open(p)) for p in polys]
+            starts = np.array([vsort._endpoints(c, closed_aware)[0] for c in polys])
+            ends = np.array([vsort._endpoints(c, closed_aware)[1] for c in polys])
+            seed = int(np.argmax(lengths))
+            native = vsort._greedy_order_native(starts, ends, closed, closed_aware, seed)
+            assert native is not None
+            # pure python path: force the fallback
+            os.environ["_PW_TEST"] = "1"
+            try:
+                orig = vsort._greedy_order_native
+                vsort._greedy_order_native = lambda *a: None
+                py = vsort.greedy_order(polys, lengths, closed, closed_aware)
+            finally:
+                vsort._greedy_order_native = orig
+                os.environ.pop("_PW_TEST", None)
+            assert native == (py[0], py[1]) or (list(native[0]), list(native[1])) == (py[0], py[1])
