@@ -9,7 +9,7 @@ import numpy as np
 
 from ..config import PipelineConfig
 from ..utils import load_pickle, save_json, save_pickle
-from ..vector.planner import layer_color_index, plan_layer_ops, tour_length, two_opt_refine
+from ..vector.planner import layer_color_index, plan_layer_ops, refine_tour, tour_length
 from .common import layer_dir, target_size_px
 
 
@@ -38,8 +38,8 @@ def run(cfg: PipelineConfig) -> None:
         ops = plan_layer_ops(lines, taps, r_insert)
         if cfg.plotopt_two_opt:
             before = tour_length(ops)
-            ops = two_opt_refine(ops)
-            print(f"[plot-opt] {name}: 2-opt travel {before:.0f} → {tour_length(ops):.0f} px")
+            ops = refine_tour(ops)
+            print(f"[plot-opt] {name}: 2-opt+or-opt travel {before:.0f} → {tour_length(ops):.0f} px")
         p_ops = os.path.join(d, "ops.pkl")
         save_pickle(ops, p_ops)
         layers.append(

@@ -168,6 +168,85 @@ def two_opt_refine(ops: List[Op], max_passes: int = 10) -> List[Op]:
     return cur
 
 
+def or_opt_refine(ops: List[Op], max_passes: int = 10) -> List[Op]:
+    """Or-opt: relocate chains of 1–3 consecutive ops (optionally reversed)
+    wherever that shortens pen-up travel — catches moves 2-opt cannot express.
+    Like :func:`two_opt_refine`, only order/orientation change."""
+    if len(ops) < 3:
+        return ops
+
+    def entry(op: Op) -> Tuple[float, float]:
+        if op["type"] == "tap":
+            return (float(op["x"]), float(op["y"]))
+        p = op["points"]
+        return (float(p[0, 0]), float(p[0, 1]))
+
+    def exit_(op: Op) -> Tuple[float, float]:
+        if op["type"] == "tap":
+            return (float(op["x"]), float(op["y"]))
+        p = op["points"]
+        return (float(p[-1, 0]), float(p[-1, 1]))
+
+    def flip(op: Op) -> Op:
+        if op["type"] == "tap":
+            return op
+        return {"type": "line", "points": op["points"][::-1].copy()}
+
+    cur = list(ops)
+    for _ in range(max_passes):
+        improved = False
+        for size in (1, 2, 3):
+            n = len(cur)
+            i = 0
+            while i + size <= n:
+                chain = cur[i : i + size]
+                before = (0.0, 0.0) if i == 0 else exit_(cur[i - 1])
+                after = entry(cur[i + size]) if i + size < n else None
+                # cost of keeping the chain in place
+                d_keep = _d(before, entry(chain[0]))
+                gap = _d(before, after) if after is not None else 0.0
+                if after is not None:
+                    d_keep += _d(exit_(chain[-1]), after)
+                rest = cur[:i] + cur[i + size :]
+                best_gain, best_k, best_rev = 1e-9, -1, False
+                # try inserting between every pair in the remaining tour
+                m = len(rest)
+                for k in range(m + 1):
+                    if k == i:  # same slot = no move
+                        continue
+                    b = (0.0, 0.0) if k == 0 else exit_(rest[k - 1])
+                    a = entry(rest[k]) if k < m else None
+                    base = _d(b, a) if a is not None else 0.0
+                    for rev in (False, True):
+                        h = exit_(chain[-1]) if rev else entry(chain[0])
+                        t = entry(chain[0]) if rev else exit_(chain[-1])
+                        d_ins = _d(b, h) + (_d(t, a) if a is not None else 0.0)
+                        gain = (d_keep - gap) - (d_ins - base)
+                        if gain > best_gain:
+                            best_gain, best_k, best_rev = gain, k, rev
+                if best_k >= 0:
+                    moved = [flip(o) for o in reversed(chain)] if best_rev else chain
+                    cur = rest[:best_k] + moved + rest[best_k:]
+                    improved = True
+                    n = len(cur)
+                else:
+                    i += 1
+        if not improved:
+            break
+    return cur
+
+
+def refine_tour(ops: List[Op], max_rounds: int = 5) -> List[Op]:
+    """Alternate 2-opt and Or-opt until neither shortens the tour."""
+    cur = ops
+    for _ in range(max_rounds):
+        length0 = tour_length(cur)
+        cur = or_opt_refine(two_opt_refine(cur))
+        if tour_length(cur) >= length0 - 1e-9:
+            break
+    return cur
+
+
 def tour_length(ops: List[Op], start: Tuple[float, float] = (0.0, 0.0)) -> float:
     """Total pen-up travel distance of an op list (benchmark metric)."""
     pos = start

@@ -63,3 +63,38 @@ def test_two_opt_improves_adversarial_order():
     ops = [{"type": "line", "points": p} for p in lines]
     refined = two_opt_refine(ops)
     assert tour_length(refined) < tour_length(ops)
+
+
+def test_or_opt_never_lengthens_and_preserves_geometry():
+    import numpy as np
+
+    from plotweave.vector.planner import or_opt_refine, refine_tour, tour_length, two_opt_refine
+
+    rng = np.random.default_rng(5)
+    for trial in range(8):
+        ops = []
+        for _ in range(int(rng.integers(4, 25))):
+            if rng.random() < 0.3:
+                ops.append({"type": "tap", "x": float(rng.integers(0, 800)), "y": float(rng.integers(0, 800))})
+            else:
+                pts = rng.integers(0, 800, size=(int(rng.integers(2, 6)), 2)).astype(np.float32)
+                ops.append({"type": "line", "points": pts})
+        t0 = tour_length(ops)
+        t2 = tour_length(two_opt_refine(ops))
+        t3 = tour_length(refine_tour(ops))
+        assert t2 <= t0 + 1e-6
+        assert t3 <= t2 + 1e-6
+
+        def geom_set(o):
+            out = []
+            for op in o:
+                if op["type"] == "tap":
+                    out.append(("t", op["x"], op["y"]))
+                else:
+                    p = op["points"]
+                    k = p.tobytes()
+                    kr = p[::-1].copy().tobytes()
+                    out.append(("l", min(k, kr)))
+            return sorted(out, key=repr)
+
+        assert geom_set(refine_tour(ops)) == geom_set(ops)
