@@ -18,7 +18,7 @@ import numpy as np
 
 from ..config import PipelineConfig
 from ..ops import morph_close, morph_open
-from ..ops.bitpack import bitpack_rows, unpack_rows
+from ..ops.bitpack import bitpack_rows
 from ..ops.colorspace import bgr_to_lab_u8, lab_u8_to_bgr
 from ..ops.kmeans import _kpp_init, _lloyd
 from ..ops.morphology import _morph
@@ -161,28 +161,41 @@ def run(cfg: PipelineConfig) -> None:
     stats = np.asarray(stats_dev)
     centers = np.ascontiguousarray(stats[:, :3])
     counts0 = np.ascontiguousarray(stats[:, 3]).view(np.int32)
-    masks0 = unpack_rows(packed_dev, w) * np.uint8(255)
 
     # relabel dark→light by the L channel (reference 02:120-127)
     order = np.argsort(centers[:, 0])
-    masks = masks0[order]
     counts = [int(c) for c in counts0[order]]
     centers = centers[order]
 
     names_sorted = sorted(names, key=darkness_rank)
 
-    palette = {}
-    for cluster_idx, name in enumerate(names_sorted[:k]):
+    # each layer: unpack its packed row, scale in place, write (threaded —
+    # PNG encode is the stage's host cost at 4K and cv2 releases the GIL)
+    packed = np.asarray(packed_dev)
+
+    def write_mask(cluster_idx: int, name: str):
         d = layer_dir(cfg, name)
-        mask = masks[cluster_idx]
+        mask = np.unpackbits(packed[int(order[cluster_idx])], axis=-1)[..., :w]
+        mask *= np.uint8(255)
         mask_path = os.path.join(d, "mask.png")
         write_image(mask_path, mask)
+        return mask_path, int(np.count_nonzero(mask))
+
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, k))) as pool:
+        written = list(
+            pool.map(lambda t: write_mask(*t), list(enumerate(names_sorted[:k])))
+        )
+
+    palette = {}
+    for cluster_idx, name in enumerate(names_sorted[:k]):
+        mask_path, nz = written[cluster_idx]
         # device-resident copy for stage 03 (identical values to the PNG)
         register_device_artifact(mask_path, masks_dev[int(order[cluster_idx])])
 
         center_lab = np.clip(np.rint(centers[cluster_idx]), 0, 255).astype(np.uint8)
         bgr = tuple(int(v) for v in np.asarray(lab_u8_to_bgr(center_lab.astype(np.float32))))
-        nz = int(np.count_nonzero(mask))
         palette[name] = {
             "mode": "kmeans",
             "cluster_index": int(cluster_idx),

@@ -70,13 +70,23 @@ def run(cfg: PipelineConfig) -> None:
     )
     edges = unpack_rows(packed_dev, batch.shape[-1]) * np.uint8(255)
 
-    edges_by_name = {}
-    for i, (name, e) in enumerate(zip(names, edges)):
+    # PNG encode dominates the host cost at large sizes; cv2 releases the GIL
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    def write_one(i_name):
+        i, name = i_name
         out = os.path.join(layer_dir(cfg, name), "edges.png")
-        write_image(out, e)
+        write_image(out, edges[i])
+        return out, int(np.count_nonzero(edges[i]))
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(names)))) as pool:
+        results = list(pool.map(write_one, list(enumerate(names))))
+
+    edges_by_name = {}
+    for i, (name, (out, nz)) in enumerate(zip(names, results)):
         register_device_artifact(out, edges_dev[i])
-        edges_by_name[name] = e
-        print(f"Edges extracted: {name} | nz={int(np.count_nonzero(e))}")
+        edges_by_name[name] = edges[i]
+        print(f"Edges extracted: {name} | nz={nz}")
 
     _composite(cfg, names, edges_by_name)
 
