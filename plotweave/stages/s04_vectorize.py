@@ -53,10 +53,20 @@ def run(cfg: PipelineConfig) -> None:
     print(f"[vectorize] thinning (batched, {len(names)} layers): {time.perf_counter() - t0:.2f}s")
 
     min_len = int(cfg.thinning_min_segment_len)
-    for name, skel in zip(names, skeletons):
+
+    # layers are independent — trace them concurrently (the native walker,
+    # cv2 labeling and pickle writes all release the GIL); output identical
+    def trace_one(args):
+        name, skel = args
         t1 = time.perf_counter()
         paths = trace_skeleton_fast(skel)  # 0/1 uint8: tracers accept any nonzero
         paths = [p for p in paths if len(p) >= min_len]
         out = os.path.join(layer_dir(cfg, name), "contours.pkl")
         save_pickle(paths, out)
-        print(f"[{name}] traced {len(paths)} polylines in {time.perf_counter() - t1:.2f}s → {out}")
+        return f"[{name}] traced {len(paths)} polylines in {time.perf_counter() - t1:.2f}s → {out}"
+
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(names)))) as pool:
+        for line in pool.map(trace_one, list(zip(names, skeletons))):
+            print(line)
