@@ -271,7 +271,7 @@ def thin_native(roi: np.ndarray, max_iter: int, rotated: bool) -> Optional[np.nd
         return None
     bind_skeleton_ops(lib)
     h, w = roi.shape
-    buf = np.ascontiguousarray(roi, dtype=np.uint8).copy()
+    buf = np.array(roi, dtype=np.uint8, order="C")  # one owning copy
     lib.pw_thin(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         h,
@@ -290,8 +290,9 @@ def component_path_native(
     min_len: int,
 ) -> Optional[List[Tuple[int, int]]]:
     """Native _component_path over a connected-component label image.
-    ``a``/``b`` are (y, x) anchors or None.  Returns the path as (y, x)
-    tuples ([] when no admissible path), or None if the library is missing."""
+    ``a``/``b`` are (y, x) anchors or None.  Returns the path as an (n, 2)
+    int32 [y, x] array (length 0 when no admissible path), or None if the
+    library is missing."""
     from .loader import bind_skeleton_ops  # noqa: PLC0415
 
     lib = get_lib()
@@ -318,4 +319,4 @@ def component_path_native(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         h * w,
     )
-    return [(int(y), int(x)) for y, x in out[:n]] if n > 0 else []
+    return out[:n] if n > 0 else out[:0]

@@ -24,6 +24,7 @@ dtypes and traversal orders are reproduced exactly.
 from __future__ import annotations
 
 import math
+import time
 from collections import deque
 from typing import Dict, List, Optional, Tuple
 
@@ -348,6 +349,7 @@ def skeleton_merge(
 
         from ..native.api import component_path_native  # noqa: PLC0415
 
+        lab = np.ascontiguousarray(lab, dtype=np.int32)
         for cc in range(1, int(num)):
             path = component_path_native(lab, cc, a0, a1, min_path_len)
             if path is None:  # no native library: identical Python BFS
@@ -357,7 +359,10 @@ def skeleton_merge(
                 path = _component_path(comp, aa, ab, min_len=min_path_len)
             if len(path) < 2:
                 continue
-            arr = np.array([(x0 + x, y0 + y) for (y, x) in path], np.float32)
+            if isinstance(path, np.ndarray):  # native: (n, 2) [y, x]
+                arr = (path[:, ::-1] + np.array([x0, y0], np.int32)).astype(np.float32)
+            else:
+                arr = np.array([(x0 + x, y0 + y) for (y, x) in path], np.float32)
             rs = resample_arclen(arr, resample_step)
             if len(rs) < 2:
                 continue
@@ -433,6 +438,7 @@ def dedup_layer(
 
     order = sorted(range(len(kept)), key=lambda i: perimeter_open(kept[i]), reverse=True)
     cleaned: List[np.ndarray] = []
+    last_beat = time.perf_counter()
     for idx, i in enumerate(order, 1):
         frags = virtual_draw_cut(
             kept[i], canvas, collision_radius, grid_cell, sample_step, tail_len_px, brush
@@ -440,7 +446,10 @@ def dedup_layer(
         for f in frags:
             parts = split_on_jumps(f, max_jump, keep_singleton=True)
             cleaned.extend(parts if parts else [f])
-        if idx % max(1, len(order) // 20) == 0 or idx == len(order):
+        # time-based heartbeat (the reference prints every ~1.5 s, 08:524-535)
+        now = time.perf_counter()
+        if idx == len(order) or now - last_beat > 1.0:
+            last_beat = now
             log(f"virtual draw {idx}/{len(order)}")
 
     if order:

@@ -148,7 +148,7 @@ def test_native_component_path_fuzz_identical_to_python():
             aa = a0 if (a0 is not None and comp[a0]) else None
             ab = a1 if (a1 is not None and comp[a1]) else None
             ref = _component_path(comp, aa, ab, min_len=min_len)
-            assert native == [(int(y), int(x)) for (y, x) in ref]
+            assert [(int(y), int(x)) for (y, x) in native] == [(int(y), int(x)) for (y, x) in ref]
 
 
 def test_native_degree_matches_python():
