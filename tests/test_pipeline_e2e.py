@@ -35,10 +35,14 @@ CONFIGS = [
     # fallback branch, an out-of-range stream_color_by_name entry (&7), and
     # heavier cross-layer dedup (regenerate: tests/tools/gen_e2e_goldens.py)
     ("cfg3_8layers.json", "ref_artifacts3.tar.gz"),
+    # 512×512 grayscale, single configured layer (BASELINE config 1): the
+    # reference clusters with K = max(2, len(names)) = 2 and emits only the
+    # darkest cluster
+    ("cfg4_gray1layer.json", "ref_artifacts4.tar.gz"),
 ]
 
 
-@pytest.fixture(scope="module", params=CONFIGS, ids=["default", "variant", "8layers"])
+@pytest.fixture(scope="module", params=CONFIGS, ids=["default", "variant", "8layers", "gray1layer"])
 def runs(request, tmp_path_factory):
     cfg_name, tar_name = request.param
     base = tmp_path_factory.mktemp("e2e")

@@ -31,6 +31,7 @@ CONFIGS = [
     ("base_cfg.json", "ref_artifacts.tar.gz"),
     ("base_cfg2.json", "ref_artifacts2.tar.gz"),
     ("cfg3_8layers.json", "ref_artifacts3.tar.gz"),
+    ("cfg4_gray1layer.json", "ref_artifacts4.tar.gz"),
 ]
 
 # 8 well-separated BGR colors (separability ⇒ both k-means implementations
@@ -65,12 +66,30 @@ def build_testimg8(path: Path) -> None:
     cv2.imwrite(str(path), img)
 
 
+def build_testimg_gray(path: Path) -> None:
+    """512×512 grayscale two-tone composition (BASELINE config 1: single
+    layer; the reference still clusters with K = max(2, len(names)) = 2 and
+    maps only the darkest cluster to the one configured name)."""
+    rng = np.random.default_rng(6)
+    img = np.full((512, 512, 3), 235, np.uint8)
+    for _ in range(24):
+        x, y = int(rng.integers(0, 512)), int(rng.integers(0, 512))
+        r = int(rng.integers(10, 80))
+        if rng.random() < 0.5:
+            cv2.circle(img, (x, y), r, (40, 40, 40), 2)
+        else:
+            cv2.line(img, (x, y), (x + r, y + int(rng.integers(-r, r + 1))), (40, 40, 40), 3)
+    cv2.imwrite(str(path), img)
+
+
 def run_reference(cfg_path: Path, tar_path: Path) -> None:
     cfg = json.loads(cfg_path.read_text())
     img_name = cfg["input_image"]
     img_path = GOLDEN / img_name
     if img_name == "testimg8.png" and not img_path.exists():
         build_testimg8(img_path)
+    if img_name == "testimg_gray.png" and not img_path.exists():
+        build_testimg_gray(img_path)
     if not img_path.exists():
         raise FileNotFoundError(img_path)
 
