@@ -86,6 +86,6 @@ def resize_if_needed(img, max_dimension: int):
     h, w = img.shape[:2]
     m = max(h, w)
     if m <= max_dimension:
-        return jnp.asarray(img), False
+        return img, False  # keep host-resident: no device round trip for a no-op
     scale = max_dimension / m
     return area_resize(img, int(w * scale), int(h * scale)), True

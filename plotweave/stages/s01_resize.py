@@ -17,11 +17,12 @@ def run(cfg: PipelineConfig) -> None:
 
     cfg.ensure_output_dirs()
     img = read_image(cfg.input_image)
-    out, resized = resize_if_needed(img, cfg.max_dimension)
-    out = np.asarray(out)
-    # start the device upload now (async) so stage 02 finds the image already
-    # resident; the PNG encode below overlaps the transfer
-    out_dev = jax.device_put(out)
+    out_raw, resized = resize_if_needed(img, cfg.max_dimension)
+    out = np.asarray(out_raw)
+    # stage 02 wants the image on device: when a resize ran, its output is
+    # already resident; otherwise start the upload now (async) so the PNG
+    # encode below overlaps the transfer
+    out_dev = out_raw if resized else jax.device_put(out)
     h, w = img.shape[:2]
     if resized:
         print(f"Resizing: {w}x{h} -> {out.shape[1]}x{out.shape[0]}")
