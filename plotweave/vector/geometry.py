@@ -100,23 +100,24 @@ def split_on_jumps(poly: np.ndarray, max_jump: float, keep_singleton: bool = Tru
     p = as_pts(poly).astype(np.float32)
     if len(p) < 2:
         return []
+    diff = p[1:] - p[:-1]  # float32, as both reference variants compute it
+    if keep_singleton:  # 08 computes the norm in float32
+        d = np.sqrt((diff * diff).sum(axis=1))
+    else:  # 10 computes hypot in float64 from float32 diffs
+        d = np.hypot(diff[:, 0].astype(np.float64), diff[:, 1].astype(np.float64))
+    jumps = d > max_jump
     out: List[np.ndarray] = []
-    cur = [tuple(p[0])]
+    start = 0
     for i in range(1, len(p)):
-        if keep_singleton:  # 08 computes the norm in float32
-            d = float(np.linalg.norm(p[i] - p[i - 1]))
-        else:  # 10 computes hypot in float64 from float32 diffs
-            d = float(np.hypot(float(p[i, 0] - p[i - 1, 0]), float(p[i, 1] - p[i - 1, 1])))
-        jump = d > max_jump
-        if jump and len(cur) >= 2:
-            out.append(np.array(cur, np.int32).reshape(-1, 1, 2))
-            cur = [tuple(p[i])]
-        elif jump and not keep_singleton:
-            cur = [tuple(p[i])]
-        else:
-            cur.append(tuple(p[i]))
-    if len(cur) >= 2:
-        out.append(np.array(cur, np.int32).reshape(-1, 1, 2))
+        if jumps[i - 1]:
+            if i - start >= 2:
+                out.append(p[start:i].astype(np.int32).reshape(-1, 1, 2))
+                start = i
+            elif not keep_singleton:
+                start = i
+            # else: a lone pending point stays joined across the jump (08)
+    if len(p) - start >= 2:
+        out.append(p[start:].astype(np.int32).reshape(-1, 1, 2))
     return out
 
 
