@@ -208,6 +208,8 @@ def zhang_suen_pallas_v2(
     """(k, H, W) 0/1 or 0/255 → 0/1 uint8 skeletons, bit-identical to
     ops.thinning.zhang_suen (see header: XLA remains the default thinner).
     tile ≤ 128 — larger tiles overflow scoped VMEM on v5e."""
+    if tile % 8 or tile < 16:
+        raise ValueError("tile must be a multiple of 8 and ≥ 16 (DMA row alignment)")
     x0 = (binary > 0).astype(jnp.uint8)
     squeeze = x0.ndim == 2
     if squeeze:
