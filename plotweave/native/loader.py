@@ -37,7 +37,10 @@ def _build() -> bool:
     try:
         if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
             return True
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB + ".tmp", _SRC]
+        # -ffp-contract=off: the encoder/greedy float math must match numpy
+        # bit-for-bit; FMA contraction (default at -O3 on FMA-baseline
+        # targets) would change last-ulp results and flip near-tie selections
+        cmd = ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC", "-o", _LIB + ".tmp", _SRC]
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.replace(_LIB + ".tmp", _LIB)
         return True

@@ -125,7 +125,15 @@ def run_pipeline_batch(
 
     def one(cfg: PipelineConfig) -> float:
         t0 = time.perf_counter()
-        run_pipeline(cfg, start_step, end_step)
+        try:
+            run_pipeline(cfg, start_step, end_step)
+        except Exception as e:  # noqa: BLE001 — isolate failures per image
+            print(
+                f"[batch] FAILED {cfg.input_image}: {type(e).__name__}: {e}",
+                file=sys.stderr,
+                flush=True,
+            )
+            return -1.0
         return time.perf_counter() - t0
 
     if workers == 1 or len(cfgs) == 1:
@@ -180,13 +188,23 @@ def _main_batch(args, base: PipelineConfig, overrides: dict) -> None:
         cfg_file = save_config(base, os.path.join(out, "config.json"), ov)
         cfgs.append(load_config(cfg_file))
     print(f"Batch: {len(images)} images → {args.output_dir} ({args.workers or min(4, len(images))} workers)")
+    if args.end_step > 13:
+        print("[batch] note: stage 14 (interactive stream preview) is skipped in batch mode")
+    if args.profile:
+        print("[batch] note: --profile is not supported in batch mode (use a single-image run)")
     t0 = time.perf_counter()
     times = run_pipeline_batch(cfgs, args.start_step, min(args.end_step, 13), workers=args.workers)
     wall = time.perf_counter() - t0
+    ok = [t for t in times if t >= 0]
+    failed = [img for img, t in zip(images, times) if t < 0]
     print(
-        f"\nBatch done: {len(images)} images in {wall:.1f}s wall "
-        f"({wall / len(images):.2f}s/image; per-image sum {sum(times):.1f}s)"
+        f"\nBatch done: {len(ok)}/{len(images)} images in {wall:.1f}s wall "
+        f"({wall / max(1, len(images)):.2f}s/image; per-image sum {sum(ok):.1f}s)"
     )
+    if failed:
+        for img in failed:
+            print(f"  failed: {img}", file=sys.stderr)
+        sys.exit(1)
 
 
 def main(argv=None) -> None:

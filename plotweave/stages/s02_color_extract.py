@@ -27,6 +27,7 @@ from ..utils import (
     read_image,
     register_device_artifact,
     save_json,
+    thread_map,
     write_image,
 )
 from .common import darkness_rank, layer_dir
@@ -137,18 +138,13 @@ def run(cfg: PipelineConfig) -> None:
     sample = np.ascontiguousarray(sample_dev, dtype=np.float32)
     # attempts are independent host work (distinct derived RNG streams) —
     # thread them; each attempt's arithmetic is unchanged
-    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
-
     attempts = int(cfg.kmeans_attempts)
-    with ThreadPoolExecutor(max_workers=min(8, max(1, attempts))) as pool:
-        inits = np.stack(
-            list(
-                pool.map(
-                    lambda a: _kpp_init(sample, k, np.random.default_rng(seed + 1000 * a)),
-                    range(attempts),
-                )
-            )
+    inits = np.stack(
+        thread_map(
+            lambda a: _kpp_init(sample, k, np.random.default_rng(seed + 1000 * a)),
+            range(attempts),
         )
+    )
     stats_dev, packed_dev, masks_dev = _fit_assign_masks(
         lab_dev,
         sample_dev,
@@ -181,12 +177,7 @@ def run(cfg: PipelineConfig) -> None:
         write_image(mask_path, mask)
         return mask_path, int(np.count_nonzero(mask))
 
-    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
-
-    with ThreadPoolExecutor(max_workers=min(8, max(1, k))) as pool:
-        written = list(
-            pool.map(lambda t: write_mask(*t), list(enumerate(names_sorted[:k])))
-        )
+    written = thread_map(lambda t: write_mask(*t), list(enumerate(names_sorted[:k])))
 
     palette = {}
     for cluster_idx, name in enumerate(names_sorted[:k]):

@@ -19,7 +19,7 @@ from ..ops.bitpack import bitpack_rows, unpack_rows
 from ..ops.canny import canny
 from ..ops.filters import gaussian_blur_u8
 from ..ops.morphology import _morph
-from ..utils import fetch_device_artifact, read_image, register_device_artifact, write_image
+from ..utils import fetch_device_artifact, read_image, register_device_artifact, thread_map, write_image
 from .common import layer_dir, palette_bgr
 
 
@@ -71,16 +71,13 @@ def run(cfg: PipelineConfig) -> None:
     edges = unpack_rows(packed_dev, batch.shape[-1]) * np.uint8(255)
 
     # PNG encode dominates the host cost at large sizes; cv2 releases the GIL
-    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
-
     def write_one(i_name):
         i, name = i_name
         out = os.path.join(layer_dir(cfg, name), "edges.png")
         write_image(out, edges[i])
         return out, int(np.count_nonzero(edges[i]))
 
-    with ThreadPoolExecutor(max_workers=min(8, max(1, len(names)))) as pool:
-        results = list(pool.map(write_one, list(enumerate(names))))
+    results = thread_map(write_one, list(enumerate(names)))
 
     edges_by_name = {}
     for i, (name, (out, nz)) in enumerate(zip(names, results)):

@@ -19,7 +19,7 @@ import numpy as np
 from ..config import PipelineConfig
 from ..ops.bitpack import bitpack_rows, unpack_rows
 from ..ops.thinning import zhang_suen
-from ..utils import fetch_device_artifact, read_image, save_pickle
+from ..utils import fetch_device_artifact, read_image, save_pickle, thread_map
 from ..vector.trace import trace_skeleton_fast
 from .common import layer_dir
 
@@ -65,8 +65,5 @@ def run(cfg: PipelineConfig) -> None:
         save_pickle(paths, out)
         return f"[{name}] traced {len(paths)} polylines in {time.perf_counter() - t1:.2f}s → {out}"
 
-    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
-
-    with ThreadPoolExecutor(max_workers=min(8, max(1, len(names)))) as pool:
-        for line in pool.map(trace_one, list(zip(names, skeletons))):
-            print(line)
+    for line in thread_map(trace_one, list(zip(names, skeletons))):
+        print(line)

@@ -105,3 +105,17 @@ def fetch_device_artifact(path: str):
         if key in _DEVICE_HANDOFF:
             _DEVICE_HANDOFF.move_to_end(key)
     return ent[1]
+
+
+def thread_map(fn, items, cap: int = 8) -> list:
+    """Ordered ``pool.map`` over ``items`` with ``min(cap, len(items))``
+    workers (the shared worker-sizing policy for per-layer stage work —
+    PNG encodes, tracing, renders all release the GIL).  Runs inline for a
+    single item."""
+    items = list(items)
+    if len(items) <= 1:
+        return [fn(x) for x in items]
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    with ThreadPoolExecutor(max_workers=min(cap, len(items))) as pool:
+        return list(pool.map(fn, items))

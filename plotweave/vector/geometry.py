@@ -101,8 +101,9 @@ def split_on_jumps(poly: np.ndarray, max_jump: float, keep_singleton: bool = Tru
     if len(p) < 2:
         return []
     diff = p[1:] - p[:-1]  # float32, as both reference variants compute it
-    if keep_singleton:  # 08 computes the norm in float32
-        d = np.sqrt((diff * diff).sum(axis=1))
+    if keep_singleton:  # 08: float32 norm, but compared as a Python float —
+        # i.e. in float64 (08:190) — so widen before comparing
+        d = np.sqrt((diff * diff).sum(axis=1)).astype(np.float64)
     else:  # 10 computes hypot in float64 from float32 diffs
         d = np.hypot(diff[:, 0].astype(np.float64), diff[:, 1].astype(np.float64))
     jumps = d > max_jump

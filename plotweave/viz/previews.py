@@ -72,7 +72,7 @@ def render_stage_previews(
     PNG write are independent), then composite overlays apply in layer order —
     output bytes are identical to the sequential loop.
     """
-    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+    from ..utils import thread_map  # noqa: PLC0415
 
     composite = np.full((size_wh[1], size_wh[0], 3), 255, np.uint8)
 
@@ -91,8 +91,7 @@ def render_stage_previews(
             taps=taps, tap_color=col, tap_radius=tap_radius,
         )
 
-    with ThreadPoolExecutor(max_workers=min(8, max(1, len(layers)))) as pool:
-        colored_layers = list(pool.map(one, layers))
+    colored_layers = thread_map(one, layers)
     for (name, lines, taps), colored in zip(layers, colored_layers):
         overlay_nonwhite(composite, colored)
         print(f"[preview] {name}: lines={len(lines)}, taps={len(taps or [])}")

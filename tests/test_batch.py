@@ -73,3 +73,24 @@ def test_batch_equals_sequential(tmp_path, workers):
             ma = cv2.imread(str(Path(a.output_dir) / layer / "mask.png"), cv2.IMREAD_GRAYSCALE)
             mb = cv2.imread(str(Path(b.output_dir) / layer / "mask.png"), cv2.IMREAD_GRAYSCALE)
             assert ma is not None and mb is not None and (ma == mb).all()
+
+
+def test_batch_isolates_failures(tmp_path, capsys):
+    """A bad image must not abort the other images in the batch."""
+    good = tmp_path / "good.png"
+    _make_image(good, seed=1)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"not a png")
+
+    import json
+
+    cfgs = []
+    for img in (bad, good):
+        out = tmp_path / f"out_{img.stem}"
+        out.mkdir()
+        (out / "config.json").write_text(json.dumps(_cfg(img, out)))
+        cfgs.append(load_config(str(out / "config.json")))
+    times = run_pipeline_batch(cfgs, 1, 13, workers=2)
+    assert times[0] < 0  # bad image reported as failed
+    assert times[1] > 0  # good image completed
+    assert (tmp_path / "out_good" / "plot_stream.bin").exists()

@@ -98,3 +98,36 @@ def test_or_opt_never_lengthens_and_preserves_geometry():
             return sorted(out, key=repr)
 
         assert geom_set(refine_tour(ops)) == geom_set(ops)
+
+
+def test_split_on_jumps_compares_in_float64():
+    """A float32 distance that equals float32(max_jump) but exceeds it in
+    float64 must split (the reference compares as Python floats)."""
+    import numpy as np
+
+    from plotweave.vector.geometry import split_on_jumps
+
+    # distance 10.100000381... (= float32(10.1)) vs max_jump 10.1 (float64)
+    d32 = float(np.float32(10.1))
+    poly = np.array([[0.0, 0.0], [d32, 0.0], [d32 + 1.0, 0.0]], np.float32).reshape(-1, 1, 2)
+    frags = split_on_jumps(poly, 10.1, keep_singleton=True)
+    # the first edge is a jump; with a lone pending point it stays joined,
+    # exactly like the reference's scalar loop on the same input
+    import numpy as _np
+
+    ref_like = []
+    p = poly.reshape(-1, 2).astype(_np.float32)
+    cur = [tuple(p[0])]
+    for i in range(1, len(p)):
+        d = float(_np.linalg.norm(p[i] - p[i - 1]))
+        jump = d > 10.1
+        if jump and len(cur) >= 2:
+            ref_like.append(_np.array(cur, _np.int32).reshape(-1, 1, 2))
+            cur = [tuple(p[i])]
+        else:
+            cur.append(tuple(p[i]))
+    if len(cur) >= 2:
+        ref_like.append(_np.array(cur, _np.int32).reshape(-1, 1, 2))
+    assert len(frags) == len(ref_like)
+    for a, b in zip(frags, ref_like):
+        _np.testing.assert_array_equal(a, b)
