@@ -61,3 +61,15 @@ def test_handoff_lru_bound(tmp_path):
         write_image(p, np.full((2, 2), i % 256, np.uint8))
         register_device_artifact(p, jax.device_put(np.zeros((2, 2), np.uint8)))
     assert len(_DEVICE_HANDOFF) <= _DEVICE_HANDOFF_CAP
+
+
+def test_config_doc_covers_every_field():
+    """CONFIG.md must mention every PipelineConfig field (doc-coverage guard)."""
+    from dataclasses import fields
+    from pathlib import Path
+
+    from plotweave.config import PipelineConfig
+
+    doc = (Path(__file__).parent.parent / "CONFIG.md").read_text()
+    missing = [f.name for f in fields(PipelineConfig) if f"`{f.name}`" not in doc]
+    assert not missing, f"CONFIG.md missing: {missing}"
