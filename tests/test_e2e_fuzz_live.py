@@ -100,3 +100,73 @@ def test_e2e_fuzz_stream_byte_identical(tmp_path, seed):
         f"seed {seed}: stream differs (lens {len(a)}/{len(b)}, first diff at "
         f"{next((i for i, (x, y) in enumerate(zip(a, b)) if x != y), 'len')})"
     )
+
+
+PALETTE8 = [
+    (20, 20, 20), (60, 40, 100), (40, 60, 200), (60, 170, 60),
+    (190, 120, 50), (140, 180, 220), (90, 210, 230), (235, 230, 225),
+]
+NAMES8 = [
+    "layer_dark", "deep_dark", "mid_red", "mid_green",
+    "accent", "layer_skin", "light_yellow", "layer_light",
+]
+
+
+def test_e2e_fuzz_8layers_stream_byte_identical(tmp_path):
+    """Randomized 8-layer image: rank ties, the step-12 fallback branch and
+    heavier cross-layer dedup, against the live reference."""
+    rng = np.random.default_rng(777)
+    w, h = 220, 180
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :] = PALETTE8[-1]
+    for _ in range(26):
+        c = PALETTE8[int(rng.integers(0, 8))]
+        x, y = int(rng.integers(0, w)), int(rng.integers(0, h))
+        r = int(rng.integers(5, 45))
+        if rng.random() < 0.5:
+            cv2.circle(img, (x, y), r, c, -1)
+        else:
+            cv2.rectangle(img, (x, y), (x + r, y + int(r * 0.7)), c, -1)
+    img_path = tmp_path / "img8.png"
+    cv2.imwrite(str(img_path), img)
+
+    cfg = {
+        "input_image": str(img_path),
+        "output_dir": "",
+        "colors": [list(c) for c in PALETTE8],
+        "color_names": NAMES8,
+        "edge_low_threshold": 22,
+        "edge_high_threshold": 70,
+        "edge_kernel_size": 5,
+        "target_width_mm": 180,
+        "target_height_mm": 240,
+        "pixels_per_mm": 3,
+        "pen_width_px": 10,
+        "pen_radius_px": 5,
+        "stream_color_by_order": [3, 1, 0, 2, 5, 4, 7, 6],
+    }
+    ref_out = tmp_path / "ref"
+    ref_out.mkdir()
+    cfg["output_dir"] = str(ref_out)
+    (ref_out / "config.json").write_text(json.dumps(cfg))
+    subprocess.run(
+        [sys.executable, str(REF), str(img_path), "--output", str(ref_out), "--end-step", "13"],
+        check=True,
+        env=dict(os.environ, PYTHONUNBUFFERED="1"),
+        cwd=str(REF.parent),
+        capture_output=True,
+        timeout=600,
+    )
+
+    from plotweave.config import load_config
+    from plotweave.pipeline import run_pipeline
+
+    mine = tmp_path / "mine"
+    mine.mkdir()
+    cfg["output_dir"] = str(mine)
+    (mine / "config.json").write_text(json.dumps(cfg))
+    run_pipeline(load_config(str(mine / "config.json")), 1, 13)
+
+    a = (ref_out / "plot_stream.bin").read_bytes()
+    b = (mine / "plot_stream.bin").read_bytes()
+    assert a == b
