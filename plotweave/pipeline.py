@@ -44,6 +44,20 @@ def stage_runner(module_name: str) -> Callable[[PipelineConfig], None]:
     return mod.run
 
 
+# Steps the CURRENT run_pipeline invocation will execute (1-based), as a
+# thread-local hint: stages may speculatively fuse downstream device work
+# into their own program when the consumer is known to run next (e.g. stage
+# 02 computing edges+skeletons for 03/04 in one dispatch).  Purely an
+# optimization — every consumer falls back to its own compute on a miss.
+import threading as _threading  # noqa: E402
+
+_CHAIN = _threading.local()
+
+
+def chain_hint() -> frozenset:
+    return getattr(_CHAIN, "steps", frozenset())
+
+
 def missing_for_step(step_idx: int, outdir: str, color_names: List[str]) -> List[str]:
     """Expected-but-missing artifacts when starting at ``step_idx`` (1-based);
     prerequisite table per reference pipeline.py:114-145."""
@@ -93,18 +107,22 @@ def run_pipeline(
             print(" -", p)
         print("The step may fail; consider starting earlier.\n")
 
-    for i in range(s0 - 1, s1):
-        title, module = STEPS[i]
-        print(f"\n[{i + 1}/{MAX_STEP}] {title}…", flush=True)
-        t0 = time.perf_counter()
-        try:
-            stage_runner(module)(cfg)
-        except Exception:
-            if on_error == "raise":
-                raise
-            print(f"Error in step {i + 1} ({module})", file=sys.stderr)
-            sys.exit(1)
-        print(f"[{i + 1}/{MAX_STEP}] done in {time.perf_counter() - t0:.2f}s", flush=True)
+    _CHAIN.steps = frozenset(range(s0, s1 + 1))
+    try:
+        for i in range(s0 - 1, s1):
+            title, module = STEPS[i]
+            print(f"\n[{i + 1}/{MAX_STEP}] {title}…", flush=True)
+            t0 = time.perf_counter()
+            try:
+                stage_runner(module)(cfg)
+            except Exception:
+                if on_error == "raise":
+                    raise
+                print(f"Error in step {i + 1} ({module})", file=sys.stderr)
+                sys.exit(1)
+            print(f"[{i + 1}/{MAX_STEP}] done in {time.perf_counter() - t0:.2f}s", flush=True)
+    finally:
+        _CHAIN.steps = frozenset()
 
 
 def run_pipeline_batch(

@@ -73,3 +73,24 @@ def palette_bgr(cfg: PipelineConfig, key: str = "approx_bgr") -> Dict[str, Tuple
         out[name] = (int(b), int(g), int(r))
     return out
 
+
+
+def edge_params(cfg: PipelineConfig):
+    """Static stage-03 parameter tuple (mk, oi, ci, bk, lo, hi) — shared by
+    stage 03 and the fused 02→04 chain so their programs/keys agree."""
+    bk = max(3, int(cfg.edge_kernel_size))
+    if bk % 2 == 0:
+        bk += 1
+    return (
+        max(1, int(cfg.edge_morph_kernel)),
+        int(cfg.edge_morph_open_iters),
+        int(cfg.edge_morph_close_iters),
+        bk,
+        int(cfg.edge_low_threshold),
+        int(cfg.edge_high_threshold),
+    )
+
+
+def chain_key(cfg: PipelineConfig, tag: str) -> str:
+    """Derived-artifact key for the fused 02→04 chain outputs."""
+    return f"{cfg.output_dir}::{tag}::{edge_params(cfg)}"

@@ -25,12 +25,13 @@ from ..ops.morphology import _morph
 from ..utils import (
     fetch_device_artifact,
     read_image,
+    register_derived_artifact,
     register_device_artifact,
     save_json,
     thread_map,
     write_image,
 )
-from .common import darkness_rank, layer_dir
+from .common import chain_key, darkness_rank, edge_params, layer_dir
 
 
 @jax.jit
@@ -81,6 +82,41 @@ def _fit_assign_masks(lab, sample, inits, k: int, iters: int, open_iters: int, c
     counts_bits = jax.lax.bitcast_convert_type(counts[:, None].astype(jnp.int32), jnp.float32)
     stats = jnp.concatenate([best_centers, counts_bits], axis=1)
     return stats, bitpack_rows(masks), masks
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "iters", "open_iters", "close_iters", "mk", "oi", "ci", "bk", "lo", "hi",
+    ),
+)
+def _fit_assign_chain(
+    lab, sample, inits,
+    k: int, iters: int, open_iters: int, close_iters: int,
+    mk: int, oi: int, ci: int, bk: int, lo: int, hi: int,
+):
+    """Fused 02→03→04 device program: everything _fit_assign_masks does,
+    plus stage 03's morphology+blur+Canny and stage 04's thinning — one
+    dispatch round trip for three stages' device work.  Layer order is the
+    original cluster order (per-layer ops are order-independent; the host
+    permutes rows when it knows the dark→light relabel).  Edges+skeletons
+    ride back as one bit-packed (2k, H, ⌈W/8⌉) array = one fetch."""
+    from ..ops.canny import canny  # noqa: PLC0415
+    from ..ops.filters import gaussian_blur_u8  # noqa: PLC0415
+    from ..ops.thinning import zhang_suen  # noqa: PLC0415
+
+    stats, packed_masks, masks = _fit_assign_masks(
+        lab, sample, inits, k, iters, open_iters, close_iters
+    )
+    m = masks
+    if oi > 0:
+        m = _morph(m, "ellipse", mk, oi, "ed")
+    if ci > 0:
+        m = _morph(m, "ellipse", mk, ci, "de")
+    edges = canny(gaussian_blur_u8(m, bk), lo, hi)
+    skels = zhang_suen(edges, max_iter=120, rotated=True)
+    chain = jnp.concatenate([bitpack_rows(edges), bitpack_rows(skels)], axis=0)
+    return stats, packed_masks, masks, chain
 
 
 def _swatch_mode(cfg: PipelineConfig, img: np.ndarray) -> None:
@@ -145,15 +181,34 @@ def run(cfg: PipelineConfig) -> None:
             range(attempts),
         )
     )
-    stats_dev, packed_dev, masks_dev = _fit_assign_masks(
-        lab_dev,
-        sample_dev,
-        jnp.asarray(inits),
-        k,
-        int(cfg.kmeans_iters),
-        int(cfg.extract_open_iters),
-        int(cfg.extract_close_iters),
-    )
+    # when the runner chains straight into stages 03+04, fuse their device
+    # work into this dispatch (edges + skeletons ride back bit-packed); the
+    # per-stage programs remain the fallback for resume/partial runs
+    from ..pipeline import chain_hint  # noqa: PLC0415
+
+    fuse = {3, 4} <= chain_hint() and k == len(names)
+    chain_dev = None
+    if fuse:
+        stats_dev, packed_dev, masks_dev, chain_dev = _fit_assign_chain(
+            lab_dev,
+            sample_dev,
+            jnp.asarray(inits),
+            k,
+            int(cfg.kmeans_iters),
+            int(cfg.extract_open_iters),
+            int(cfg.extract_close_iters),
+            *edge_params(cfg),
+        )
+    else:
+        stats_dev, packed_dev, masks_dev = _fit_assign_masks(
+            lab_dev,
+            sample_dev,
+            jnp.asarray(inits),
+            k,
+            int(cfg.kmeans_iters),
+            int(cfg.extract_open_iters),
+            int(cfg.extract_close_iters),
+        )
     stats = np.asarray(stats_dev)
     centers = np.ascontiguousarray(stats[:, :3])
     counts0 = np.ascontiguousarray(stats[:, 3]).view(np.int32)
@@ -178,6 +233,19 @@ def run(cfg: PipelineConfig) -> None:
         return mask_path, int(np.count_nonzero(mask))
 
     written = thread_map(lambda t: write_mask(*t), list(enumerate(names_sorted[:k])))
+
+    if chain_dev is not None:
+        # hand stage 03/04 their precomputed outputs, permuted from cluster
+        # order to cfg.color_names order, keyed to the mask files just written
+        ch = np.asarray(chain_dev)  # (2k, H, ceil(W/8)): edges rows, then skeleton rows
+        name_to_cluster = {nm: int(order[j]) for j, nm in enumerate(names_sorted[:k])}
+        perm = [name_to_cluster[nm] for nm in names]
+        mask_paths = [os.path.join(layer_dir(cfg, nm), "mask.png") for nm in names]
+        register_derived_artifact(
+            chain_key(cfg, "edges+skels"),
+            mask_paths,
+            (np.ascontiguousarray(ch[:k][perm]), np.ascontiguousarray(ch[k:][perm]), w),
+        )
 
     palette = {}
     for cluster_idx, name in enumerate(names_sorted[:k]):

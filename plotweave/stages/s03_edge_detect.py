@@ -19,13 +19,16 @@ from ..ops.bitpack import bitpack_rows, unpack_rows
 from ..ops.canny import canny
 from ..ops.filters import gaussian_blur_u8
 from ..ops.morphology import _morph
-from ..utils import fetch_device_artifact, read_image, register_device_artifact, thread_map, write_image
-from .common import layer_dir, palette_bgr
-
-
-def _ensure_odd(n: int) -> int:
-    n = max(3, int(n))
-    return n if n % 2 == 1 else n + 1
+from ..utils import (
+    fetch_derived_artifact,
+    fetch_device_artifact,
+    read_image,
+    register_derived_artifact,
+    register_device_artifact,
+    thread_map,
+    write_image,
+)
+from .common import chain_key, edge_params, layer_dir, palette_bgr
 
 
 @partial(jax.jit, static_argnames=("mk", "oi", "ci", "bk", "lo", "hi"))
@@ -46,29 +49,32 @@ def run(cfg: PipelineConfig) -> None:
     import jax.numpy as jnp  # noqa: PLC0415
 
     names = list(cfg.color_names)
-    masks = []
-    all_dev = True
-    for name in names:
-        p = os.path.join(cfg.output_dir, name, "mask.png")
-        m = fetch_device_artifact(p)
-        if m is None:
-            all_dev = False
-            if not os.path.exists(p):
-                raise FileNotFoundError(f"Mask not found: {p}")
-            m = read_image(p, gray=True)
-        masks.append(m)
-    batch = jnp.stack(masks, axis=0) if all_dev else np.stack([np.asarray(m) for m in masks], axis=0)
 
-    packed_dev, edges_dev = _edges_batched(
-        batch,
-        max(1, int(cfg.edge_morph_kernel)),
-        int(cfg.edge_morph_open_iters),
-        int(cfg.edge_morph_close_iters),
-        _ensure_odd(cfg.edge_kernel_size),
-        int(cfg.edge_low_threshold),
-        int(cfg.edge_high_threshold),
-    )
-    edges = unpack_rows(packed_dev, batch.shape[-1]) * np.uint8(255)
+    # fused-chain fast path: stage 02 already computed edges (and skeletons)
+    # in its own dispatch; validate against the mask files and skip the
+    # device entirely
+    mask_paths = [os.path.join(cfg.output_dir, n, "mask.png") for n in names]
+    fused = fetch_derived_artifact(chain_key(cfg, "edges+skels"))
+    edges_dev = None
+    if fused is not None:
+        packed_edges, packed_skels, w = fused
+        edges = unpack_rows(packed_edges, w) * np.uint8(255)
+    else:
+        masks = []
+        all_dev = True
+        for name, p in zip(names, mask_paths):
+            m = fetch_device_artifact(p)
+            if m is None:
+                all_dev = False
+                if not os.path.exists(p):
+                    raise FileNotFoundError(f"Mask not found: {p}")
+                m = read_image(p, gray=True)
+            masks.append(m)
+        batch = jnp.stack(masks, axis=0) if all_dev else np.stack([np.asarray(m) for m in masks], axis=0)
+
+        packed_dev, edges_dev = _edges_batched(batch, *edge_params(cfg))
+        edges = unpack_rows(packed_dev, batch.shape[-1]) * np.uint8(255)
+        packed_skels = None
 
     # PNG encode dominates the host cost at large sizes; cv2 releases the GIL
     def write_one(i_name):
@@ -81,9 +87,19 @@ def run(cfg: PipelineConfig) -> None:
 
     edges_by_name = {}
     for i, (name, (out, nz)) in enumerate(zip(names, results)):
-        register_device_artifact(out, edges_dev[i])
+        if edges_dev is not None:
+            register_device_artifact(out, edges_dev[i])
         edges_by_name[name] = edges[i]
         print(f"Edges extracted: {name} | nz={nz}")
+
+    if packed_skels is not None:
+        # republish the precomputed skeletons keyed to the edge files just
+        # written — stage 04 consumes them with zero device work
+        register_derived_artifact(
+            chain_key(cfg, "skels"),
+            [r[0] for r in results],
+            (packed_skels, edges.shape[-1]),
+        )
 
     _composite(cfg, names, edges_by_name)
 

@@ -19,9 +19,9 @@ import numpy as np
 from ..config import PipelineConfig
 from ..ops.bitpack import bitpack_rows, unpack_rows
 from ..ops.thinning import zhang_suen
-from ..utils import fetch_device_artifact, read_image, save_pickle, thread_map
+from ..utils import fetch_derived_artifact, fetch_device_artifact, read_image, save_pickle, thread_map
 from ..vector.trace import trace_skeleton_fast
-from .common import layer_dir
+from .common import chain_key, layer_dir
 
 
 @partial(jax.jit, static_argnames=())
@@ -32,25 +32,34 @@ def _thin_batched(edges):
 
 def run(cfg: PipelineConfig) -> None:
     names = list(cfg.color_names)
-    edge_imgs = []
-    all_dev = True
-    for name in names:
-        p = os.path.join(cfg.output_dir, name, "edges.png")
-        e = fetch_device_artifact(p)
-        if e is None:
-            all_dev = False
-            if not os.path.exists(p):
-                raise FileNotFoundError(f"Edges not found: {p}")
-            e = read_image(p, gray=True)
-        edge_imgs.append(e)
 
     t0 = time.perf_counter()
-    if all_dev:
-        batch = jnp.stack(edge_imgs, axis=0)
+    fused = fetch_derived_artifact(chain_key(cfg, "skels"))
+    if fused is not None:
+        # skeletons precomputed by the fused 02→04 chain, validated against
+        # the edges.png files on disk — zero device work here
+        packed_skels, w = fused
+        skeletons = unpack_rows(packed_skels, w)
+        print(f"[vectorize] thinning (fused-chain handoff, {len(names)} layers)")
     else:
-        batch = np.stack([np.asarray(e) for e in edge_imgs], axis=0)
-    skeletons = unpack_rows(_thin_batched(batch), batch.shape[-1])
-    print(f"[vectorize] thinning (batched, {len(names)} layers): {time.perf_counter() - t0:.2f}s")
+        edge_imgs = []
+        all_dev = True
+        for name in names:
+            p = os.path.join(cfg.output_dir, name, "edges.png")
+            e = fetch_device_artifact(p)
+            if e is None:
+                all_dev = False
+                if not os.path.exists(p):
+                    raise FileNotFoundError(f"Edges not found: {p}")
+                e = read_image(p, gray=True)
+            edge_imgs.append(e)
+
+        if all_dev:
+            batch = jnp.stack(edge_imgs, axis=0)
+        else:
+            batch = np.stack([np.asarray(e) for e in edge_imgs], axis=0)
+        skeletons = unpack_rows(_thin_batched(batch), batch.shape[-1])
+        print(f"[vectorize] thinning (batched, {len(names)} layers): {time.perf_counter() - t0:.2f}s")
 
     min_len = int(cfg.thinning_min_segment_len)
 

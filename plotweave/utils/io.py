@@ -119,3 +119,45 @@ def thread_map(fn, items, cap: int = 8) -> list:
 
     with ThreadPoolExecutor(max_workers=min(cap, len(items))) as pool:
         return list(pool.map(fn, items))
+
+
+# Derived artifacts: device/host values computed from one or more source
+# files (e.g. stage 02 speculatively computes stage 03/04's device work in
+# the same fused program).  An entry is valid only while EVERY source file's
+# (mtime_ns, size) signature is unchanged; the key also encodes the params
+# of the derivation.
+
+_DERIVED: "OrderedDict[str, tuple]" = OrderedDict()
+_DERIVED_CAP = 16
+
+
+def register_derived_artifact(key: str, sources, value) -> None:
+    try:
+        sigs = tuple(_stat_sig(p) for p in sources)
+    except OSError:
+        return
+    with _DEVICE_HANDOFF_LOCK:
+        _DERIVED.pop(key, None)
+        _DERIVED[key] = (tuple(os.path.abspath(p) for p in sources), sigs, value)
+        while len(_DERIVED) > _DERIVED_CAP:
+            _DERIVED.popitem(last=False)
+
+
+def fetch_derived_artifact(key: str):
+    with _DEVICE_HANDOFF_LOCK:
+        ent = _DERIVED.get(key)
+    if ent is None:
+        return None
+    paths, sigs, value = ent
+    try:
+        fresh = all(_stat_sig(p) == s for p, s in zip(paths, sigs))
+    except OSError:
+        fresh = False
+    if not fresh:
+        with _DEVICE_HANDOFF_LOCK:
+            _DERIVED.pop(key, None)
+        return None
+    with _DEVICE_HANDOFF_LOCK:
+        if key in _DERIVED:
+            _DERIVED.move_to_end(key)
+    return value

@@ -73,3 +73,81 @@ def test_config_doc_covers_every_field():
     doc = (Path(__file__).parent.parent / "CONFIG.md").read_text()
     missing = [f.name for f in fields(PipelineConfig) if f"`{f.name}`" not in doc]
     assert not missing, f"CONFIG.md missing: {missing}"
+
+
+def _tiny_pipeline_cfg(tmp_path, tag):
+    import json
+
+    import cv2
+
+    rng = np.random.default_rng(5)
+    img = np.zeros((96, 128, 3), np.uint8)
+    img[:, :] = (235, 230, 225)
+    for _ in range(8):
+        c = [(20, 20, 20), (40, 60, 200), (140, 180, 220)][int(rng.integers(0, 3))]
+        cv2.circle(img, (int(rng.integers(0, 128)), int(rng.integers(0, 96))), int(rng.integers(5, 25)), c, -1)
+    p = tmp_path / f"{tag}.png"
+    cv2.imwrite(str(p), img)
+    out = tmp_path / tag
+    out.mkdir()
+    cfg_d = {
+        "input_image": str(p),
+        "output_dir": str(out),
+        "colors": [[20, 20, 20], [40, 60, 200], [140, 180, 220], [235, 230, 225]],
+        "color_names": ["layer_dark", "layer_mid", "layer_skin", "layer_light"],
+        "target_width_mm": 64, "target_height_mm": 48, "pixels_per_mm": 2,
+        "pen_width_px": 8, "pen_radius_px": 4,
+    }
+    (out / "config.json").write_text(json.dumps(cfg_d))
+    from plotweave.config import load_config
+
+    return load_config(str(out / "config.json")), out
+
+
+def test_fused_chain_equals_stepwise(tmp_path):
+    """run_pipeline(1..4) (fused 02→04 dispatch) must produce artifacts
+    byte-identical to four separate single-step runs (per-stage programs)."""
+    import pickle
+
+    import cv2
+
+    from plotweave.pipeline import run_pipeline
+
+    cfg_a, out_a = _tiny_pipeline_cfg(tmp_path, "chained")
+    run_pipeline(cfg_a, 1, 4)
+    cfg_b, out_b = _tiny_pipeline_cfg(tmp_path, "stepwise")
+    for s in (1, 2, 3, 4):
+        run_pipeline(cfg_b, s, s)
+
+    for layer in cfg_a.color_names:
+        for f in ("mask.png", "edges.png"):
+            a = cv2.imread(str(out_a / layer / f), 0)
+            b = cv2.imread(str(out_b / layer / f), 0)
+            assert a is not None and (a == b).all(), f"{layer}/{f}"
+        pa = pickle.loads((out_a / layer / "contours.pkl").read_bytes())
+        pb = pickle.loads((out_b / layer / "contours.pkl").read_bytes())
+        assert len(pa) == len(pb)
+        for x, y in zip(pa, pb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_fused_chain_invalidated_by_edited_edges(tmp_path):
+    """If edges.png changes after the chained run, stage 04 must NOT reuse
+    the fused skeletons — it recomputes from the file on disk."""
+    import pickle
+
+    import cv2
+
+    from plotweave.pipeline import run_pipeline
+
+    cfg, out = _tiny_pipeline_cfg(tmp_path, "inval")
+    run_pipeline(cfg, 1, 4)
+    orig = pickle.loads((out / "layer_dark" / "contours.pkl").read_bytes())
+
+    # blank one layer's edges and rerun step 4 alone
+    e_path = out / "layer_dark" / "edges.png"
+    e = cv2.imread(str(e_path), 0)
+    cv2.imwrite(str(e_path), np.zeros_like(e))
+    run_pipeline(cfg, 4, 4)
+    new = pickle.loads((out / "layer_dark" / "contours.pkl").read_bytes())
+    assert len(new) == 0 and len(orig) > 0  # recomputed from the blank file
