@@ -115,8 +115,17 @@ def _fit_assign_chain(
         m = _morph(m, "ellipse", mk, ci, "de")
     edges = canny(gaussian_blur_u8(m, bk), lo, hi)
     skels = zhang_suen(edges, max_iter=120, rotated=True)
-    chain = jnp.concatenate([bitpack_rows(edges), bitpack_rows(skels)], axis=0)
-    return stats, packed_masks, masks, chain
+    # everything rides home in ONE flat u8 blob = one fetch round trip:
+    # [stats bytes (k·16)] [packed masks (k·H·W8)] [packed edges] [packed skels]
+    blob = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(stats, jnp.uint8).reshape(-1),
+            packed_masks.reshape(-1),
+            bitpack_rows(edges).reshape(-1),
+            bitpack_rows(skels).reshape(-1),
+        ]
+    )
+    return blob, masks
 
 
 def _swatch_mode(cfg: PipelineConfig, img: np.ndarray) -> None:
@@ -187,9 +196,9 @@ def run(cfg: PipelineConfig) -> None:
     from ..pipeline import chain_hint  # noqa: PLC0415
 
     fuse = {3, 4} <= chain_hint() and k == len(names)
-    chain_dev = None
+    chain_packed = None
     if fuse:
-        stats_dev, packed_dev, masks_dev, chain_dev = _fit_assign_chain(
+        blob_dev, masks_dev = _fit_assign_chain(
             lab_dev,
             sample_dev,
             jnp.asarray(inits),
@@ -199,6 +208,13 @@ def run(cfg: PipelineConfig) -> None:
             int(cfg.extract_close_iters),
             *edge_params(cfg),
         )
+        blob = np.asarray(blob_dev)  # one fetch for stats+masks+edges+skels
+        w8 = (w + 7) // 8
+        n_stats = k * 16
+        n_layers = k * h * w8
+        stats = np.ascontiguousarray(blob[:n_stats]).view(np.float32).reshape(k, 4)
+        packed = blob[n_stats : n_stats + n_layers].reshape(k, h, w8)
+        chain_packed = blob[n_stats + n_layers :].reshape(2 * k, h, w8)
     else:
         stats_dev, packed_dev, masks_dev = _fit_assign_masks(
             lab_dev,
@@ -209,7 +225,8 @@ def run(cfg: PipelineConfig) -> None:
             int(cfg.extract_open_iters),
             int(cfg.extract_close_iters),
         )
-    stats = np.asarray(stats_dev)
+        stats = np.asarray(stats_dev)
+        packed = np.asarray(packed_dev)
     centers = np.ascontiguousarray(stats[:, :3])
     counts0 = np.ascontiguousarray(stats[:, 3]).view(np.int32)
 
@@ -222,8 +239,6 @@ def run(cfg: PipelineConfig) -> None:
 
     # each layer: unpack its packed row, scale in place, write (threaded —
     # PNG encode is the stage's host cost at 4K and cv2 releases the GIL)
-    packed = np.asarray(packed_dev)
-
     def write_mask(cluster_idx: int, name: str):
         d = layer_dir(cfg, name)
         mask = np.unpackbits(packed[int(order[cluster_idx])], axis=-1)[..., :w]
@@ -234,10 +249,10 @@ def run(cfg: PipelineConfig) -> None:
 
     written = thread_map(lambda t: write_mask(*t), list(enumerate(names_sorted[:k])))
 
-    if chain_dev is not None:
+    if chain_packed is not None:
         # hand stage 03/04 their precomputed outputs, permuted from cluster
         # order to cfg.color_names order, keyed to the mask files just written
-        ch = np.asarray(chain_dev)  # (2k, H, ceil(W/8)): edges rows, then skeleton rows
+        ch = chain_packed  # (2k, H, ceil(W/8)): edges rows, then skeleton rows
         name_to_cluster = {nm: int(order[j]) for j, nm in enumerate(names_sorted[:k])}
         perm = [name_to_cluster[nm] for nm in names]
         mask_paths = [os.path.join(layer_dir(cfg, nm), "mask.png") for nm in names]
