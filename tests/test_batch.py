@@ -94,3 +94,25 @@ def test_batch_isolates_failures(tmp_path, capsys):
     assert times[0] < 0  # bad image reported as failed
     assert times[1] > 0  # good image completed
     assert (tmp_path / "out_good" / "plot_stream.bin").exists()
+
+
+def test_empty_layer_pipeline_completes(tmp_path):
+    """An image where one configured color never wins a cluster must still
+    produce a valid stream (the reference crashes at step 09 on this)."""
+    import json
+
+    from plotweave.stream.decoder import StreamDecoder, replay
+
+    img = np.zeros((80, 100, 3), np.uint8)
+    img[:, :] = (235, 230, 225)
+    cv2.circle(img, (50, 40), 18, (20, 20, 20), -1)  # only 2 tones present
+    p = tmp_path / "two_tone.png"
+    cv2.imwrite(str(p), img)
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "config.json").write_text(json.dumps(_cfg(p, out)))
+    run_pipeline(load_config(str(out / "config.json")), 1, 13)
+    data = (out / "plot_stream.bin").read_bytes()
+    dec = StreamDecoder(data)
+    replay(dec, 10000, 10000)
+    assert dec.stats.eof_seen and len(data) % 1024 == 0
