@@ -288,7 +288,7 @@ def component_path_native(
     a: Optional[Tuple[int, int]],
     b: Optional[Tuple[int, int]],
     min_len: int,
-) -> Optional[List[Tuple[int, int]]]:
+) -> Optional[np.ndarray]:
     """Native _component_path over a connected-component label image.
     ``a``/``b`` are (y, x) anchors or None.  Returns the path as an (n, 2)
     int32 [y, x] array (length 0 when no admissible path), or None if the

@@ -197,9 +197,18 @@ def _main_batch(args, base: PipelineConfig, overrides: dict) -> None:
     if not images:
         print(f"error: no images in {args.batch_dir}", file=sys.stderr)
         sys.exit(2)
+    # photo.png + photo.jpg must not share an output dir (concurrent runs
+    # would clobber each other's artifacts): disambiguate duplicate stems
+    stems = {}
     cfgs = []
     for img in images:
         stem = os.path.splitext(os.path.basename(img))[0]
+        if stem in stems:
+            stems[stem] += 1
+            stem = f"{stem}_{stems[stem]}"
+            print(f"[batch] note: duplicate stem; {os.path.basename(img)} → {stem}/")
+        else:
+            stems[stem] = 1
         out = os.path.join(args.output_dir, stem)
         os.makedirs(out, exist_ok=True)
         ov = dict(overrides, input_image=img, output_dir=out)

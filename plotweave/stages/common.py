@@ -92,5 +92,9 @@ def edge_params(cfg: PipelineConfig):
 
 
 def chain_key(cfg: PipelineConfig, tag: str) -> str:
-    """Derived-artifact key for the fused 02→04 chain outputs."""
-    return f"{cfg.output_dir}::{tag}::{edge_params(cfg)}"
+    """Derived-artifact key for the fused 02→04 chain outputs.
+
+    Encodes the layer-name tuple: the packed rows are permuted for THAT
+    names order, so a rerun with reordered/renamed layers (same mask files
+    on disk) must miss the cache, not consume mis-assigned rows."""
+    return f"{cfg.output_dir}::{tag}::{tuple(cfg.color_names)}::{edge_params(cfg)}"

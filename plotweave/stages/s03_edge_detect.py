@@ -54,7 +54,7 @@ def run(cfg: PipelineConfig) -> None:
     # in its own dispatch; validate against the mask files and skip the
     # device entirely
     mask_paths = [os.path.join(cfg.output_dir, n, "mask.png") for n in names]
-    fused = fetch_derived_artifact(chain_key(cfg, "edges+skels"))
+    fused = fetch_derived_artifact(chain_key(cfg, "edges+skels"), pop=True)
     edges_dev = None
     if fused is not None:
         packed_edges, packed_skels, w = fused

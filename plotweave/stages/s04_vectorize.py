@@ -34,7 +34,7 @@ def run(cfg: PipelineConfig) -> None:
     names = list(cfg.color_names)
 
     t0 = time.perf_counter()
-    fused = fetch_derived_artifact(chain_key(cfg, "skels"))
+    fused = fetch_derived_artifact(chain_key(cfg, "skels"), pop=True)
     if fused is not None:
         # skeletons precomputed by the fused 02→04 chain, validated against
         # the edges.png files on disk — zero device work here

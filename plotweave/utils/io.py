@@ -143,7 +143,10 @@ def register_derived_artifact(key: str, sources, value) -> None:
             _DERIVED.popitem(last=False)
 
 
-def fetch_derived_artifact(key: str):
+def fetch_derived_artifact(key: str, pop: bool = False):
+    """``pop=True`` releases the entry on a successful fetch — fused-chain
+    blobs are single-consumer and can be tens of MB at 4K, so consumers
+    should not leave them pinned in the registry."""
     with _DEVICE_HANDOFF_LOCK:
         ent = _DERIVED.get(key)
     if ent is None:
@@ -153,11 +156,12 @@ def fetch_derived_artifact(key: str):
         fresh = all(_stat_sig(p) == s for p, s in zip(paths, sigs))
     except OSError:
         fresh = False
-    if not fresh:
-        with _DEVICE_HANDOFF_LOCK:
-            _DERIVED.pop(key, None)
-        return None
     with _DEVICE_HANDOFF_LOCK:
-        if key in _DERIVED:
+        if not fresh:
+            _DERIVED.pop(key, None)
+            return None
+        if pop:
+            _DERIVED.pop(key, None)
+        elif key in _DERIVED:
             _DERIVED.move_to_end(key)
     return value

@@ -116,6 +116,27 @@ def layer_color_index(name: str) -> int:
     return 0
 
 
+
+def _op_entry(op: Op) -> Tuple[float, float]:
+    if op["type"] == "tap":
+        return (float(op["x"]), float(op["y"]))
+    p = op["points"]
+    return (float(p[0, 0]), float(p[0, 1]))
+
+
+def _op_exit(op: Op) -> Tuple[float, float]:
+    if op["type"] == "tap":
+        return (float(op["x"]), float(op["y"]))
+    p = op["points"]
+    return (float(p[-1, 0]), float(p[-1, 1]))
+
+
+def _op_flip(op: Op) -> Op:
+    if op["type"] == "tap":
+        return op
+    return {"type": "line", "points": op["points"][::-1].copy()}
+
+
 def two_opt_refine(ops: List[Op], max_passes: int = 10) -> List[Op]:
     """Optional travel-tour improvement over the greedy plan (the reference
     has no refinement pass; BASELINE names 2-opt as the target improvement).
@@ -129,22 +150,7 @@ def two_opt_refine(ops: List[Op], max_passes: int = 10) -> List[Op]:
     if len(ops) < 3:
         return ops
 
-    def entry(op: Op) -> Tuple[float, float]:
-        if op["type"] == "tap":
-            return (float(op["x"]), float(op["y"]))
-        p = op["points"]
-        return (float(p[0, 0]), float(p[0, 1]))
-
-    def exit_(op: Op) -> Tuple[float, float]:
-        if op["type"] == "tap":
-            return (float(op["x"]), float(op["y"]))
-        p = op["points"]
-        return (float(p[-1, 0]), float(p[-1, 1]))
-
-    def flip(op: Op) -> Op:
-        if op["type"] == "tap":
-            return op
-        return {"type": "line", "points": op["points"][::-1].copy()}
+    entry, exit_, flip = _op_entry, _op_exit, _op_flip
 
     cur = list(ops)
     for _ in range(max_passes):
@@ -175,22 +181,7 @@ def or_opt_refine(ops: List[Op], max_passes: int = 10) -> List[Op]:
     if len(ops) < 3:
         return ops
 
-    def entry(op: Op) -> Tuple[float, float]:
-        if op["type"] == "tap":
-            return (float(op["x"]), float(op["y"]))
-        p = op["points"]
-        return (float(p[0, 0]), float(p[0, 1]))
-
-    def exit_(op: Op) -> Tuple[float, float]:
-        if op["type"] == "tap":
-            return (float(op["x"]), float(op["y"]))
-        p = op["points"]
-        return (float(p[-1, 0]), float(p[-1, 1]))
-
-    def flip(op: Op) -> Op:
-        if op["type"] == "tap":
-            return op
-        return {"type": "line", "points": op["points"][::-1].copy()}
+    entry, exit_, flip = _op_entry, _op_exit, _op_flip
 
     cur = list(ops)
     for _ in range(max_passes):

@@ -151,3 +151,35 @@ def test_fused_chain_invalidated_by_edited_edges(tmp_path):
     run_pipeline(cfg, 4, 4)
     new = pickle.loads((out / "layer_dark" / "contours.pkl").read_bytes())
     assert len(new) == 0 and len(orig) > 0  # recomputed from the blank file
+
+
+def test_fused_chain_miss_on_renamed_layers(tmp_path):
+    """Rerunning stage 03 with reordered layer names (same mask files) must
+    NOT consume the fused-chain entry registered under the old names order."""
+    import json
+
+    import cv2
+
+    from plotweave.config import load_config
+    from plotweave.pipeline import run_pipeline
+
+    cfg, out = _tiny_pipeline_cfg(tmp_path, "renamed")
+    run_pipeline(cfg, 1, 4)
+    before = {
+        n: cv2.imread(str(out / n / "edges.png"), 0)
+        for n in cfg.color_names
+    }
+
+    # reorder the names (masks on disk untouched) and rerun stage 3 alone
+    cfg_d = json.loads((out / "config.json").read_text())
+    cfg_d["color_names"] = list(reversed(cfg_d["color_names"]))
+    cfg_d["colors"] = list(reversed(cfg_d["colors"]))
+    (out / "config.json").write_text(json.dumps(cfg_d))
+    cfg2 = load_config(str(out / "config.json"))
+    run_pipeline(cfg2, 3, 3)
+
+    # each layer's edges must still be the edges OF ITS OWN mask — i.e. the
+    # recompute from disk, not mis-assigned fused rows
+    for n in cfg.color_names:
+        after = cv2.imread(str(out / n / "edges.png"), 0)
+        assert (before[n] == after).all(), n
