@@ -148,6 +148,14 @@ class PipelineConfig:
     # "exact"  — bit-compatible host path (oracle-grade output)
     # "tpu"    — JAX/Pallas device path (throughput-grade, near-identical)
     compute_backend: str = "exact"
+    # "host-exact" — numpy-RNG k-means++ seeding (reference-deterministic:
+    #   the sampled pixel set and init draws replicate 02:41); requires one
+    #   sample transfer per image.
+    # "device"     — jax-PRNG subsample + seeding, fully fused into a single
+    #   dispatch (no sample transfer, fastest); deterministic for a given
+    #   seed but NOT reference-RNG-compatible — masks are equivalent, not
+    #   byte-pinned to the host-exact path on non-separable inputs.
+    kmeans_init: str = "host-exact"
 
     # ------------------------------------------------------------------
     def ensure_output_dirs(self) -> None:

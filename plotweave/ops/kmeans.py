@@ -119,3 +119,43 @@ def kmeans(
     )
     labels = jnp.argmin(d2, axis=1).astype(jnp.int32)
     return np.asarray(centers), np.asarray(labels)
+
+
+def _kpp_init_device(sample, k: int, key):
+    """k-means++ seeding on device (jax PRNG): uniform first center, then
+    d²-weighted categorical draws.  Deterministic for a given key; NOT the
+    numpy Generator stream (see PipelineConfig.kmeans_init)."""
+    n = sample.shape[0]
+    key, k0 = jax.random.split(key)
+    first = sample[jax.random.randint(k0, (), 0, n)]
+    centers0 = jnp.zeros((k, sample.shape[1]), sample.dtype).at[0].set(first)
+    d2_0 = jnp.sum((sample - first) ** 2, axis=1)
+
+    def body(i, state):
+        centers, d2, key = state
+        key, kc = jax.random.split(key)
+        # categorical over d2 (∝ squared distance); guard the all-zero case
+        logits = jnp.log(jnp.maximum(d2, 1e-12))
+        idx = jax.random.categorical(kc, logits)
+        c = sample[idx]
+        centers = centers.at[i].set(c)
+        d2 = jnp.minimum(d2, jnp.sum((sample - c) ** 2, axis=1))
+        return centers, d2, key
+
+    centers, _, _ = jax.lax.fori_loop(1, k, body, (centers0, d2_0, key))
+    return centers
+
+
+def kmeans_fit_device(sample, k: int, attempts: int, iters: int, seed: int):
+    """Device-side fit: ++ inits from derived jax PRNG keys, the same
+    ``_lloyd`` fixpoint per attempt, strict first-wins best-compactness.
+    Call inside jit; returns the winning (k, D) centers."""
+    best_centers = jnp.zeros((k, sample.shape[1]), sample.dtype)
+    best_comp = jnp.asarray(jnp.inf, sample.dtype)
+    for a in range(attempts):
+        init = _kpp_init_device(sample, k, jax.random.PRNGKey(seed + 1000 * a))
+        centers, comp = _lloyd(sample, init, iters)
+        take = comp < best_comp
+        best_centers = jnp.where(take, centers, best_centers)
+        best_comp = jnp.where(take, comp, best_comp)
+    return best_centers

@@ -44,6 +44,83 @@ def _lab_and_sample(img, idx):
     return lab, jnp.take(lab.reshape(-1, 3), idx, axis=0)
 
 
+def _assign_tail(lab, best_centers, k: int, open_iters: int, close_iters: int):
+    """All-pixel nearest-center assignment → counts → morphology-cleaned
+    masks → (stats, packed masks, masks); shared by every fit variant."""
+    flat = lab.reshape(-1, 3)
+    d2 = (
+        jnp.sum(flat * flat, axis=1, keepdims=True)
+        - 2.0 * jnp.matmul(flat, best_centers.T, precision=jax.lax.Precision.HIGHEST)
+        + jnp.sum(best_centers * best_centers, axis=1)
+    )
+    labels = jnp.argmin(d2, axis=1).reshape(lab.shape[:2])
+    sel = labels[None, :, :] == jnp.arange(k)[:, None, None]
+    counts = sel.sum(axis=(1, 2))
+    masks = sel.astype(jnp.uint8) * 255
+    if open_iters > 0:
+        masks = _morph(masks, "rect", 3, open_iters, "ed")
+    if close_iters > 0:
+        masks = _morph(masks, "rect", 3, close_iters, "de")
+    counts_bits = jax.lax.bitcast_convert_type(counts[:, None].astype(jnp.int32), jnp.float32)
+    stats = jnp.concatenate([best_centers, counts_bits], axis=1)
+    return stats, bitpack_rows(masks), masks
+
+
+def _chain_tail(masks, mk: int, oi: int, ci: int, bk: int, lo: int, hi: int):
+    """Stage 03's morphology+blur+Canny and stage 04's thinning over the
+    cleaned masks; returns the bit-packed (2k, H, ⌈W/8⌉) edges+skeletons."""
+    from ..ops.canny import canny  # noqa: PLC0415
+    from ..ops.filters import gaussian_blur_u8  # noqa: PLC0415
+    from ..ops.thinning import zhang_suen  # noqa: PLC0415
+
+    m = masks
+    if oi > 0:
+        m = _morph(m, "ellipse", mk, oi, "ed")
+    if ci > 0:
+        m = _morph(m, "ellipse", mk, ci, "de")
+    edges = canny(gaussian_blur_u8(m, bk), lo, hi)
+    skels = zhang_suen(edges, max_iter=120, rotated=True)
+    return jnp.concatenate([bitpack_rows(edges), bitpack_rows(skels)], axis=0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "iters", "attempts", "limit", "seed", "fuse",
+        "mk", "oi", "ci", "bk", "lo", "hi", "open_iters", "close_iters",
+    ),
+)
+def _device_init_stage(
+    img,
+    k: int, iters: int, attempts: int, limit: int, seed: int, fuse: bool,
+    mk: int = 0, oi: int = 0, ci: int = 0, bk: int = 3, lo: int = 0, hi: int = 0,
+    open_iters: int = 1, close_iters: int = 1,
+):
+    """kmeans_init="device": the ENTIRE stage (and, when fused, stages 03/04's
+    device work) in one dispatch — jax-PRNG subsample + ++ seeding, Lloyd,
+    assignment, masks, optional edges+skeletons — returning one u8 blob.
+    Deterministic per seed; not numpy-RNG-compatible (see CONFIG.md)."""
+    from ..ops.kmeans import kmeans_fit_device  # noqa: PLC0415
+
+    lab = bgr_to_lab_u8(img)
+    flat = lab.reshape(-1, 3)
+    n = flat.shape[0]
+    if n > limit:
+        idx = jax.random.choice(jax.random.PRNGKey(seed), n, (limit,), replace=False)
+        sample = jnp.take(flat, idx, axis=0)
+    else:
+        sample = flat
+    centers = kmeans_fit_device(sample, k, attempts, iters, seed)
+    stats, packed_masks, masks = _assign_tail(lab, centers, k, open_iters, close_iters)
+    parts = [
+        jax.lax.bitcast_convert_type(stats, jnp.uint8).reshape(-1),
+        packed_masks.reshape(-1),
+    ]
+    if fuse:
+        parts.append(_chain_tail(masks, mk, oi, ci, bk, lo, hi).reshape(-1))
+    return jnp.concatenate(parts), masks
+
+
 @partial(jax.jit, static_argnames=("k", "iters", "open_iters", "close_iters"))
 def _fit_assign_masks(lab, sample, inits, k: int, iters: int, open_iters: int, close_iters: int):
     """Device call B: the whole rest of the stage fused into one program —
@@ -61,27 +138,9 @@ def _fit_assign_masks(lab, sample, inits, k: int, iters: int, open_iters: int, c
         take = comp < best_comp
         best_centers = jnp.where(take, centers, best_centers)
         best_comp = jnp.where(take, comp, best_comp)
-
-    flat = lab.reshape(-1, 3)
-    d2 = (
-        jnp.sum(flat * flat, axis=1, keepdims=True)
-        - 2.0 * jnp.matmul(flat, best_centers.T, precision=jax.lax.Precision.HIGHEST)
-        + jnp.sum(best_centers * best_centers, axis=1)
-    )
-    labels = jnp.argmin(d2, axis=1).reshape(lab.shape[:2])
-    sel = labels[None, :, :] == jnp.arange(k)[:, None, None]
-    counts = sel.sum(axis=(1, 2))
-    masks = sel.astype(jnp.uint8) * 255
-    if open_iters > 0:
-        masks = _morph(masks, "rect", 3, open_iters, "ed")
-    if close_iters > 0:
-        masks = _morph(masks, "rect", 3, close_iters, "de")
-    # masks are returned both packed (for the host transfer) and unpacked
-    # (device-resident, handed to stage 03 without ever crossing the link);
-    # centers+counts ride one array = one host fetch round trip
-    counts_bits = jax.lax.bitcast_convert_type(counts[:, None].astype(jnp.int32), jnp.float32)
-    stats = jnp.concatenate([best_centers, counts_bits], axis=1)
-    return stats, bitpack_rows(masks), masks
+    # masks come back both packed (host transfer) and unpacked (device-
+    # resident, handed to stage 03); centers+counts ride one stats array
+    return _assign_tail(lab, best_centers, k, open_iters, close_iters)
 
 
 @partial(
@@ -101,28 +160,16 @@ def _fit_assign_chain(
     original cluster order (per-layer ops are order-independent; the host
     permutes rows when it knows the dark→light relabel).  Edges+skeletons
     ride back as one bit-packed (2k, H, ⌈W/8⌉) array = one fetch."""
-    from ..ops.canny import canny  # noqa: PLC0415
-    from ..ops.filters import gaussian_blur_u8  # noqa: PLC0415
-    from ..ops.thinning import zhang_suen  # noqa: PLC0415
-
     stats, packed_masks, masks = _fit_assign_masks(
         lab, sample, inits, k, iters, open_iters, close_iters
     )
-    m = masks
-    if oi > 0:
-        m = _morph(m, "ellipse", mk, oi, "ed")
-    if ci > 0:
-        m = _morph(m, "ellipse", mk, ci, "de")
-    edges = canny(gaussian_blur_u8(m, bk), lo, hi)
-    skels = zhang_suen(edges, max_iter=120, rotated=True)
     # everything rides home in ONE flat u8 blob = one fetch round trip:
     # [stats bytes (k·16)] [packed masks (k·H·W8)] [packed edges] [packed skels]
     blob = jnp.concatenate(
         [
             jax.lax.bitcast_convert_type(stats, jnp.uint8).reshape(-1),
             packed_masks.reshape(-1),
-            bitpack_rows(edges).reshape(-1),
-            bitpack_rows(skels).reshape(-1),
+            _chain_tail(masks, mk, oi, ci, bk, lo, hi).reshape(-1),
         ]
     )
     return blob, masks
@@ -173,60 +220,76 @@ def run(cfg: PipelineConfig) -> None:
     n = h * w
     seed = int(cfg.kmeans_seed)
     limit = int(cfg.kmeans_sample_limit)
-    # identical subsample index stream to the reference's rng(42).choice (02:41)
-    if n > limit:
-        idx = np.random.default_rng(seed).choice(n, size=limit, replace=False)
-    else:
-        idx = np.arange(n, dtype=np.int64)
-
-    lab_dev, sample_dev = _lab_and_sample(img, jnp.asarray(idx))
-    sample = np.ascontiguousarray(sample_dev, dtype=np.float32)
-    # attempts are independent host work (distinct derived RNG streams) —
-    # thread them; each attempt's arithmetic is unchanged
     attempts = int(cfg.kmeans_attempts)
-    inits = np.stack(
-        thread_map(
-            lambda a: _kpp_init(sample, k, np.random.default_rng(seed + 1000 * a)),
-            range(attempts),
-        )
-    )
+
     # when the runner chains straight into stages 03+04, fuse their device
     # work into this dispatch (edges + skeletons ride back bit-packed); the
     # per-stage programs remain the fallback for resume/partial runs
     from ..pipeline import chain_hint  # noqa: PLC0415
 
     fuse = {3, 4} <= chain_hint() and k == len(names)
-    chain_packed = None
-    if fuse:
-        blob_dev, masks_dev = _fit_assign_chain(
-            lab_dev,
-            sample_dev,
-            jnp.asarray(inits),
-            k,
-            int(cfg.kmeans_iters),
-            int(cfg.extract_open_iters),
-            int(cfg.extract_close_iters),
-            *edge_params(cfg),
-        )
-        blob = np.asarray(blob_dev)  # one fetch for stats+masks+edges+skels
+
+    def _split_blob(blob):
         w8 = (w + 7) // 8
         n_stats = k * 16
         n_layers = k * h * w8
         stats = np.ascontiguousarray(blob[:n_stats]).view(np.float32).reshape(k, 4)
         packed = blob[n_stats : n_stats + n_layers].reshape(k, h, w8)
-        chain_packed = blob[n_stats + n_layers :].reshape(2 * k, h, w8)
-    else:
-        stats_dev, packed_dev, masks_dev = _fit_assign_masks(
-            lab_dev,
-            sample_dev,
-            jnp.asarray(inits),
-            k,
-            int(cfg.kmeans_iters),
-            int(cfg.extract_open_iters),
-            int(cfg.extract_close_iters),
+        chain = blob[n_stats + n_layers :].reshape(2 * k, h, w8) if fuse else None
+        return stats, packed, chain
+
+    chain_packed = None
+    if cfg.kmeans_init.lower() == "device":
+        # fully-fused single dispatch; jax-PRNG sampling/seeding (CONFIG.md)
+        blob_dev, masks_dev = _device_init_stage(
+            img,
+            k, int(cfg.kmeans_iters), attempts, limit, seed, fuse,
+            *(edge_params(cfg) if fuse else (1, 0, 0, 3, 0, 0)),
+            open_iters=int(cfg.extract_open_iters),
+            close_iters=int(cfg.extract_close_iters),
         )
-        stats = np.asarray(stats_dev)
-        packed = np.asarray(packed_dev)
+        stats, packed, chain_packed = _split_blob(np.asarray(blob_dev))
+    else:
+        # host-exact: identical subsample index stream to the reference's
+        # rng(42).choice (02:41), numpy-RNG k-means++ seeding
+        if n > limit:
+            idx = np.random.default_rng(seed).choice(n, size=limit, replace=False)
+        else:
+            idx = np.arange(n, dtype=np.int64)
+        lab_dev, sample_dev = _lab_and_sample(img, jnp.asarray(idx))
+        sample = np.ascontiguousarray(sample_dev, dtype=np.float32)
+        # attempts are independent host work (distinct derived RNG streams) —
+        # thread them; each attempt's arithmetic is unchanged
+        inits = np.stack(
+            thread_map(
+                lambda a: _kpp_init(sample, k, np.random.default_rng(seed + 1000 * a)),
+                range(attempts),
+            )
+        )
+        if fuse:
+            blob_dev, masks_dev = _fit_assign_chain(
+                lab_dev,
+                sample_dev,
+                jnp.asarray(inits),
+                k,
+                int(cfg.kmeans_iters),
+                int(cfg.extract_open_iters),
+                int(cfg.extract_close_iters),
+                *edge_params(cfg),
+            )
+            stats, packed, chain_packed = _split_blob(np.asarray(blob_dev))
+        else:
+            stats_dev, packed_dev, masks_dev = _fit_assign_masks(
+                lab_dev,
+                sample_dev,
+                jnp.asarray(inits),
+                k,
+                int(cfg.kmeans_iters),
+                int(cfg.extract_open_iters),
+                int(cfg.extract_close_iters),
+            )
+            stats = np.asarray(stats_dev)
+            packed = np.asarray(packed_dev)
     centers = np.ascontiguousarray(stats[:, :3])
     counts0 = np.ascontiguousarray(stats[:, 3]).view(np.int32)
 

@@ -183,3 +183,34 @@ def test_fused_chain_miss_on_renamed_layers(tmp_path):
     for n in cfg.color_names:
         after = cv2.imread(str(out / n / "edges.png"), 0)
         assert (before[n] == after).all(), n
+
+
+def test_kmeans_device_init_mode(tmp_path):
+    """kmeans_init="device" (opt-in, single fused dispatch) must produce
+    masks equivalent to host-exact on a separable image, and a valid stream."""
+    import json
+
+    import cv2
+
+    from plotweave.config import load_config
+    from plotweave.pipeline import run_pipeline
+
+    cfg_a, out_a = _tiny_pipeline_cfg(tmp_path, "exact")
+    run_pipeline(cfg_a, 1, 13)
+
+    cfg_d = json.loads((out_a / "config.json").read_text())
+    out_b = tmp_path / "device"
+    out_b.mkdir()
+    cfg_d["output_dir"] = str(out_b)
+    cfg_d["kmeans_init"] = "device"
+    (out_b / "config.json").write_text(json.dumps(cfg_d))
+    run_pipeline(load_config(str(out_b / "config.json")), 1, 13)
+
+    # separable colors ⇒ identical converged Voronoi assignment ⇒ same masks
+    for layer in cfg_a.color_names:
+        a = cv2.imread(str(out_a / layer / "mask.png"), 0)
+        b = cv2.imread(str(out_b / layer / "mask.png"), 0)
+        assert a is not None and b is not None and (a == b).all(), layer
+    sa = (out_a / "plot_stream.bin").read_bytes()
+    sb = (out_b / "plot_stream.bin").read_bytes()
+    assert sa == sb  # converged identically on this input
