@@ -261,6 +261,58 @@ def virtual_draw_native(samples, canvas, grid_radius, grid_cell, tail_len_px, br
     return frags
 
 
+def cv_kmeans_native(
+    data: np.ndarray, K: int, max_count: int, epsilon: float, attempts: int, state: int
+) -> Optional[Tuple[float, np.ndarray, np.ndarray]]:
+    """Native cv2-exact kmeans (see ops/cvkmeans.py); None if unavailable."""
+    from .loader import bind_cv_kmeans  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    bind_cv_kmeans(lib)
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    n, dims = data.shape
+    centers = np.empty((K, dims), dtype=np.float32)
+    labels = np.empty(n, dtype=np.int32)
+    comp = lib.pw_cv_kmeans(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n,
+        dims,
+        int(K),
+        int(max_count),
+        float(epsilon),
+        int(attempts),
+        ctypes.c_uint64(state),
+        centers.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return float(comp), labels, centers
+
+
+def km_assign_native(lab_u8: np.ndarray, centers: np.ndarray) -> Optional[np.ndarray]:
+    """Nearest-center labels for (N, dims) uint8 data; None if unavailable."""
+    from .loader import bind_cv_kmeans  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    bind_cv_kmeans(lib)
+    lab_u8 = np.ascontiguousarray(lab_u8, dtype=np.uint8)
+    centers = np.ascontiguousarray(centers, dtype=np.float32)
+    n, dims = lab_u8.shape
+    out = np.empty(n, dtype=np.uint8)
+    lib.pw_km_assign(
+        lab_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+        centers.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        centers.shape[0],
+        dims,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
+
+
 def thin_native(roi: np.ndarray, max_iter: int, rotated: bool) -> Optional[np.ndarray]:
     """Native Zhang–Suen; 0/1 uint8 skeleton, or None if unavailable.
     Bit-identical to ops.thinning.zhang_suen (fuzz-tested)."""

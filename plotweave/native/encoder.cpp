@@ -821,3 +821,238 @@ extern "C" void pw_greedy_order(const float* starts, const float* ends,
         }
     }
 }
+
+// ---------------------------------------------------------------- cv kmeans
+//
+// Bit-exact replication of cv2.kmeans (KMEANS_PP_CENTERS), the clustering
+// behind the reference's color-layer extraction (02_color_extract.py:46-49).
+// Semantics documented in plotweave/ops/cvkmeans.py; this is the fast path
+// (the Python module is the fuzz-tested fallback).  All float32 arithmetic
+// orders follow OpenCV's scalar loops for dims <= 3 (no SIMD at 3 lanes);
+// -ffp-contract=off keeps FMA contraction from perturbing last-ulp results.
+
+static inline uint32_t pw_rng_next(uint64_t* state) {
+    *state = (uint64_t)(uint32_t)(*state) * 4164903690ULL + (uint32_t)(*state >> 32);
+    return (uint32_t)(*state);
+}
+
+static inline double pw_rng_double(uint64_t* state) {
+    uint32_t t = pw_rng_next(state);
+    uint32_t u = pw_rng_next(state);
+    return (double)(((uint64_t)t << 32) | u) * 5.421010862427522e-20;
+}
+
+static inline float pw_l2sqr(const float* a, const float* b, int dims) {
+    float d = 0.f;
+    for (int j = 0; j < dims; j++) {
+        float t = a[j] - b[j];
+        d += t * t;
+    }
+    return d;
+}
+
+static void pw_centers_pp(const float* data, int64_t N, int dims, int K,
+                          uint64_t* rng, float* out_centers,
+                          float* dist, float* tdist, float* tdist2) {
+    const int trials = 3;
+    std::vector<int64_t> centers((size_t)K);
+    centers[0] = (int64_t)(pw_rng_next(rng) % (uint32_t)N);
+
+    double sum0 = 0.0;
+    for (int64_t i = 0; i < N; i++) {
+        dist[i] = pw_l2sqr(data + i * dims, data + centers[0] * dims, dims);
+        sum0 += dist[i];
+    }
+
+    for (int k = 1; k < K; k++) {
+        double best_sum = HUGE_VAL;
+        int64_t best_center = -1;
+        for (int j = 0; j < trials; j++) {
+            double p = pw_rng_double(rng) * sum0;
+            int64_t ci = 0;
+            for (; ci < N - 1; ci++) {
+                p -= dist[ci];
+                if (p <= 0) break;
+            }
+            const float* c = data + ci * dims;
+            for (int64_t i = 0; i < N; i++) {
+                float d = pw_l2sqr(data + i * dims, c, dims);
+                tdist2[i] = d < dist[i] ? d : dist[i];
+            }
+            double s = 0.0;
+            for (int64_t i = 0; i < N; i++) s += tdist2[i];
+            if (s < best_sum) {
+                best_sum = s;
+                best_center = ci;
+                std::swap(tdist, tdist2);
+            }
+        }
+        centers[k] = best_center;
+        sum0 = best_sum;
+        std::swap(dist, tdist);
+    }
+    for (int k = 0; k < K; k++)
+        std::memcpy(out_centers + (size_t)k * dims, data + centers[k] * dims,
+                    sizeof(float) * dims);
+}
+
+// returns compactness; fills out_centers (K*dims f32) and out_labels (N i32)
+extern "C" double pw_cv_kmeans(const float* data, int64_t N, int dims, int K,
+                               int max_count, double epsilon, int attempts,
+                               uint64_t rng_state,
+                               float* out_centers, int32_t* out_labels) {
+    uint64_t rng = rng_state;
+    epsilon = epsilon > 0 ? epsilon : 0;
+    epsilon *= epsilon;
+    if (max_count < 2) max_count = 2;
+    if (attempts < 1) attempts = 1;
+    if (K == 1) { attempts = 1; max_count = 2; }
+
+    std::vector<float> centers_buf((size_t)K * dims), old_centers_buf((size_t)K * dims);
+    std::vector<float> temp((size_t)dims);
+    std::vector<int64_t> counters((size_t)K);
+    std::vector<int32_t> labels((size_t)N, 0);
+    std::vector<double> dists((size_t)N);
+    std::vector<float> ppd((size_t)N * 3);
+    float* centers = centers_buf.data();
+    float* old_centers = old_centers_buf.data();
+
+    double best_compactness = HUGE_VAL;
+
+    for (int a = 0; a < attempts; a++) {
+        double max_center_shift = HUGE_VAL;
+        double compactness = 0.0;
+        for (int iter = 0;;) {
+            std::swap(centers, old_centers);
+            if (iter == 0) {
+                pw_centers_pp(data, N, dims, K, &rng, centers,
+                              ppd.data(), ppd.data() + N, ppd.data() + 2 * N);
+            } else {
+                // accumulate in sample order (float32)
+                std::memset(centers, 0, sizeof(float) * (size_t)K * dims);
+                for (int k = 0; k < K; k++) counters[k] = 0;
+                for (int64_t i = 0; i < N; i++) {
+                    const float* sample = data + i * dims;
+                    float* center = centers + (size_t)labels[i] * dims;
+                    for (int j = 0; j < dims; j++) center[j] += sample[j];
+                    counters[labels[i]]++;
+                }
+                for (int k = 0; k < K; k++) {
+                    if (counters[k] != 0) continue;
+                    // steal the farthest member of the biggest cluster
+                    int max_k = 0;
+                    for (int k1 = 1; k1 < K; k1++)
+                        if (counters[max_k] < counters[k1]) max_k = k1;
+                    float* base_center = centers + (size_t)max_k * dims;
+                    float scale = 1.f / (float)counters[max_k];
+                    for (int j = 0; j < dims; j++) temp[j] = base_center[j] * scale;
+                    double max_dist = 0.0;
+                    int64_t farthest_i = -1;
+                    for (int64_t i = 0; i < N; i++) {
+                        if (labels[i] != max_k) continue;
+                        double d = pw_l2sqr(data + i * dims, temp.data(), dims);
+                        if (max_dist <= d) { max_dist = d; farthest_i = i; }
+                    }
+                    counters[max_k]--;
+                    counters[k]++;
+                    labels[farthest_i] = k;
+                    const float* sample = data + farthest_i * dims;
+                    float* cur_center = centers + (size_t)k * dims;
+                    for (int j = 0; j < dims; j++) {
+                        base_center[j] -= sample[j];
+                        cur_center[j] += sample[j];
+                    }
+                }
+                max_center_shift = 0.0;
+                for (int k = 0; k < K; k++) {
+                    float* center = centers + (size_t)k * dims;
+                    float scale = 1.f / (float)counters[k];
+                    for (int j = 0; j < dims; j++) center[j] *= scale;
+                    if (iter > 0) {
+                        double d = 0.0;
+                        const float* oc = old_centers + (size_t)k * dims;
+                        for (int j = 0; j < dims; j++) {
+                            double t = (double)center[j] - (double)oc[j];
+                            d += t * t;
+                        }
+                        if (d > max_center_shift) max_center_shift = d;
+                    }
+                }
+            }
+            iter++;
+            if (iter == max_count || max_center_shift <= epsilon) {
+                // epsilon stop does NOT re-assign (avoids empty clusters)
+                for (int64_t i = 0; i < N; i++)
+                    dists[i] = pw_l2sqr(data + i * dims,
+                                        centers + (size_t)labels[i] * dims, dims);
+                // cv::sum CV_64F: 4-way unrolled scalar accumulation
+                double s0 = 0.0;
+                int64_t i = 0;
+                for (; i <= N - 4; i += 4)
+                    s0 += dists[i] + dists[i + 1] + dists[i + 2] + dists[i + 3];
+                for (; i < N; i++) s0 += dists[i];
+                compactness = s0;
+                break;
+            }
+            for (int64_t i = 0; i < N; i++) {
+                const float* sample = data + i * dims;
+                int k_best = 0;
+                double min_dist = HUGE_VAL;
+                for (int k = 0; k < K; k++) {
+                    double d = pw_l2sqr(sample, centers + (size_t)k * dims, dims);
+                    if (min_dist > d) { min_dist = d; k_best = k; }
+                }
+                labels[i] = k_best;
+            }
+        }
+        if (compactness < best_compactness) {
+            best_compactness = compactness;
+            std::memcpy(out_centers, centers, sizeof(float) * (size_t)K * dims);
+            std::memcpy(out_labels, labels.data(), sizeof(int32_t) * (size_t)N);
+        }
+    }
+    return best_compactness;
+}
+
+// Full-image nearest-center assignment (reference 02_color_extract.py:52-55):
+// d² = ((t0² + t1²) + t2²) in float32, argmin with first-wins ties — the
+// exact numpy broadcasting semantics.  Embarrassingly parallel over rows.
+#include <thread>
+
+static void pw_km_assign_range(const uint8_t* lab, int64_t lo, int64_t hi,
+                               const float* centers, int K, int dims,
+                               uint8_t* out_labels) {
+    for (int64_t i = lo; i < hi; i++) {
+        const uint8_t* px = lab + i * dims;
+        int best = 0;
+        float best_d = INFINITY;
+        for (int k = 0; k < K; k++) {
+            const float* c = centers + (size_t)k * dims;
+            float d = 0.f;
+            for (int j = 0; j < dims; j++) {
+                float t = (float)px[j] - c[j];
+                d += t * t;
+            }
+            if (d < best_d) { best_d = d; best = k; }
+        }
+        out_labels[i] = (uint8_t)best;
+    }
+}
+
+extern "C" void pw_km_assign(const uint8_t* lab, int64_t N, const float* centers,
+                             int K, int dims, uint8_t* out_labels) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int nthreads = (int)(hw ? (hw > 8 ? 8 : hw) : 1);
+    if (N < 65536 || nthreads <= 1) {
+        pw_km_assign_range(lab, 0, N, centers, K, dims, out_labels);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int64_t chunk = (N + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+        int64_t lo = t * chunk, hi = lo + chunk < N ? lo + chunk : N;
+        if (lo >= hi) break;
+        ts.emplace_back(pw_km_assign_range, lab, lo, hi, centers, K, dims, out_labels);
+    }
+    for (auto& th : ts) th.join();
+}

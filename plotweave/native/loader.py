@@ -136,6 +136,33 @@ def bind_virtual_draw(lib: ctypes.CDLL) -> None:
     lib._pw_vd_bound = True
 
 
+def bind_cv_kmeans(lib: ctypes.CDLL) -> None:
+    if hasattr(lib, "_pw_km_bound"):
+        return
+    lib.pw_cv_kmeans.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_double,
+        ctypes.c_int,
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.pw_cv_kmeans.restype = ctypes.c_double
+    lib.pw_km_assign.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib._pw_km_bound = True
+
+
 def bind_skeleton_ops(lib: ctypes.CDLL) -> None:
     if hasattr(lib, "_pw_skel_bound"):
         return

@@ -24,6 +24,14 @@ def bitpack_rows(masks):
     return (bits.astype(jnp.int32) * weights).sum(axis=-1).astype(jnp.uint8)
 
 
+def bitunpack_rows(packed, width: int):
+    """(..., ⌈W/8⌉) uint8 → (..., width) 0/1 uint8, on device (inverse of
+    :func:`bitpack_rows`; MSB-first like ``np.unpackbits``)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., :, None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*packed.shape[:-1], -1)[..., :width]
+
+
 def unpack_rows(packed: np.ndarray, width: int) -> np.ndarray:
     """Host inverse of :func:`bitpack_rows`; returns 0/1 uint8 of last-axis
     length ``width``."""

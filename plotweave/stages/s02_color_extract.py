@@ -1,9 +1,20 @@
 """[02] Color-layer extraction → <layer>/mask.png + palette_by_name.json.
 
-Default mode clusters pixels in Lab with deterministic k-means and maps
-clusters to layer names by darkness; legacy swatch mode thresholds around
-configured BGR swatches (reference 02_color_extract.py).  The all-pixel
-assignment and mask morphology run jitted/batched on device.
+Default mode clusters pixels in Lab with k-means and maps clusters to layer
+names by darkness; legacy swatch mode thresholds around configured BGR
+swatches (reference 02_color_extract.py).
+
+The default ``kmeans_init: "host-exact"`` path is bit-identical to the
+reference on ARBITRARY inputs (photos included): cv2's fixed-point uint8
+Lab conversion on the host, the exact ``cv2.kmeans`` replication
+(ops/cvkmeans.py — OpenCV MWC RNG from its fresh-process state, kmeans++,
+float32 Lloyd), and the reference's numpy assignment semantics in native
+C++.  Raw one-hot masks then cross to the device bit-packed (8 px/byte) for
+the morphology clean-up and, when the runner chains stages 03/04, the fused
+edges+skeletons program — the stage's device work is ONE dispatch.
+
+``kmeans_init: "device"`` (opt-in) instead fuses the entire fit on device
+with jax-PRNG sampling — deterministic per seed, not cv2-compatible.
 """
 
 from __future__ import annotations
@@ -18,9 +29,9 @@ import numpy as np
 
 from ..config import PipelineConfig
 from ..ops import morph_close, morph_open
-from ..ops.bitpack import bitpack_rows
-from ..ops.colorspace import bgr_to_lab_u8, lab_u8_to_bgr
-from ..ops.kmeans import _kpp_init, _lloyd
+from ..ops.bitpack import bitpack_rows, bitunpack_rows
+from ..ops.colorspace import bgr_to_lab_u8
+from ..ops.cvkmeans import assign_labels, cv_kmeans
 from ..ops.morphology import _morph
 from ..utils import (
     fetch_device_artifact,
@@ -32,16 +43,6 @@ from ..utils import (
     write_image,
 )
 from .common import chain_key, darkness_rank, edge_params, layer_dir
-
-
-@jax.jit
-def _lab_and_sample(img, idx):
-    """Device call A: Lab conversion + k-means subsample gather.  Only the
-    (sample_limit, 3) float32 sample crosses back to the host (for the exact
-    numpy-RNG k-means++ seeding); the full-resolution lab image stays resident
-    on device for call B."""
-    lab = bgr_to_lab_u8(img)
-    return lab, jnp.take(lab.reshape(-1, 3), idx, axis=0)
 
 
 def _assign_tail(lab, best_centers, k: int, open_iters: int, close_iters: int):
@@ -121,53 +122,40 @@ def _device_init_stage(
     return jnp.concatenate(parts), masks
 
 
-@partial(jax.jit, static_argnames=("k", "iters", "open_iters", "close_iters"))
-def _fit_assign_masks(lab, sample, inits, k: int, iters: int, open_iters: int, close_iters: int):
-    """Device call B: the whole rest of the stage fused into one program —
-    every k-means attempt (unrolled ``_lloyd`` fixpoints, strict first-wins
-    best-compactness pick exactly like the former per-attempt host loop),
-    all-pixel nearest-center assignment, per-cluster counts, morphology, and
-    bit-packed masks for the return transfer.  Masks/counts come back in
-    original cluster order; the host applies the reference's dark→light
-    relabel (02:120-127) as a pure reorder, which is arithmetically identical
-    to the LUT relabel it replaces."""
-    best_centers = jnp.zeros_like(inits[0])
-    best_comp = jnp.asarray(jnp.inf, sample.dtype)
-    for a in range(inits.shape[0]):
-        centers, comp = _lloyd(sample, inits[a], iters)
-        take = comp < best_comp
-        best_centers = jnp.where(take, centers, best_centers)
-        best_comp = jnp.where(take, comp, best_comp)
-    # masks come back both packed (host transfer) and unpacked (device-
-    # resident, handed to stage 03); centers+counts ride one stats array
-    return _assign_tail(lab, best_centers, k, open_iters, close_iters)
+@partial(jax.jit, static_argnames=("w", "open_iters", "close_iters"))
+def _clean_masks(packed_raw, w: int, open_iters: int, close_iters: int):
+    """Device program for the host-exact path: unpack the uploaded one-hot
+    masks, apply the 3×3 rect open/close clean-up (02:136-154), and return
+    them bit-packed (host transfer) plus unpacked (device-resident handoff
+    to stage 03)."""
+    masks = bitunpack_rows(packed_raw, w) * jnp.uint8(255)
+    if open_iters > 0:
+        masks = _morph(masks, "rect", 3, open_iters, "ed")
+    if close_iters > 0:
+        masks = _morph(masks, "rect", 3, close_iters, "de")
+    return bitpack_rows(masks), masks
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "iters", "open_iters", "close_iters", "mk", "oi", "ci", "bk", "lo", "hi",
+        "w", "open_iters", "close_iters", "mk", "oi", "ci", "bk", "lo", "hi",
     ),
 )
-def _fit_assign_chain(
-    lab, sample, inits,
-    k: int, iters: int, open_iters: int, close_iters: int,
+def _clean_masks_chain(
+    packed_raw,
+    w: int, open_iters: int, close_iters: int,
     mk: int, oi: int, ci: int, bk: int, lo: int, hi: int,
 ):
-    """Fused 02→03→04 device program: everything _fit_assign_masks does,
-    plus stage 03's morphology+blur+Canny and stage 04's thinning — one
-    dispatch round trip for three stages' device work.  Layer order is the
-    original cluster order (per-layer ops are order-independent; the host
-    permutes rows when it knows the dark→light relabel).  Edges+skeletons
-    ride back as one bit-packed (2k, H, ⌈W/8⌉) array = one fetch."""
-    stats, packed_masks, masks = _fit_assign_masks(
-        lab, sample, inits, k, iters, open_iters, close_iters
-    )
-    # everything rides home in ONE flat u8 blob = one fetch round trip:
-    # [stats bytes (k·16)] [packed masks (k·H·W8)] [packed edges] [packed skels]
+    """Fused 02→03→04 device program: mask clean-up plus stage 03's
+    morphology+blur+Canny and stage 04's thinning — one dispatch round trip
+    for three stages' device work.  Layer order is the original cluster
+    order (per-layer ops are order-independent; the host permutes rows when
+    it knows the dark→light relabel).  Everything rides home in ONE flat u8
+    blob: [packed masks (k·H·W8)] [packed edges] [packed skels]."""
+    packed_masks, masks = _clean_masks(packed_raw, w, open_iters, close_iters)
     blob = jnp.concatenate(
         [
-            jax.lax.bitcast_convert_type(stats, jnp.uint8).reshape(-1),
             packed_masks.reshape(-1),
             _chain_tail(masks, mk, oi, ci, bk, lo, hi).reshape(-1),
         ]
@@ -208,9 +196,13 @@ def run(cfg: PipelineConfig) -> None:
         _swatch_mode(cfg, read_image(resized_path))
         return
 
-    # device-resident handoff from stage 01 when available; disk otherwise
-    img = fetch_device_artifact(resized_path)
-    if img is None:
+    if cfg.kmeans_init.lower() == "device":
+        # device-resident handoff from stage 01 when available; disk otherwise
+        img = fetch_device_artifact(resized_path)
+        if img is None:
+            img = read_image(resized_path)
+    else:
+        # host-exact mode works from the host pixels — no tunnel round trip
         img = read_image(resized_path)
 
     names = list(cfg.color_names)
@@ -229,14 +221,7 @@ def run(cfg: PipelineConfig) -> None:
 
     fuse = {3, 4} <= chain_hint() and k == len(names)
 
-    def _split_blob(blob):
-        w8 = (w + 7) // 8
-        n_stats = k * 16
-        n_layers = k * h * w8
-        stats = np.ascontiguousarray(blob[:n_stats]).view(np.float32).reshape(k, 4)
-        packed = blob[n_stats : n_stats + n_layers].reshape(k, h, w8)
-        chain = blob[n_stats + n_layers :].reshape(2 * k, h, w8) if fuse else None
-        return stats, packed, chain
+    w8 = (w + 7) // 8
 
     chain_packed = None
     if cfg.kmeans_init.lower() == "device":
@@ -248,50 +233,57 @@ def run(cfg: PipelineConfig) -> None:
             open_iters=int(cfg.extract_open_iters),
             close_iters=int(cfg.extract_close_iters),
         )
-        stats, packed, chain_packed = _split_blob(np.asarray(blob_dev))
+        blob = np.asarray(blob_dev)
+        n_stats = k * 16
+        stats = np.ascontiguousarray(blob[:n_stats]).view(np.float32).reshape(k, 4)
+        centers = np.ascontiguousarray(stats[:, :3])
+        counts0 = np.ascontiguousarray(stats[:, 3]).view(np.int32)
+        packed = blob[n_stats : n_stats + k * h * w8].reshape(k, h, w8)
+        if fuse:
+            chain_packed = blob[n_stats + k * h * w8 :].reshape(2 * k, h, w8)
     else:
-        # host-exact: identical subsample index stream to the reference's
-        # rng(42).choice (02:41), numpy-RNG k-means++ seeding
+        # host-exact: cv2's fixed-point uint8 Lab (cvtColor), the identical
+        # subsample index stream (rng(42).choice, 02:41), the bit-exact
+        # cv2.kmeans replication, and the reference's numpy assignment —
+        # byte-identical to the reference on any input (photos included)
+        import cv2  # noqa: PLC0415
+
+        lab = cv2.cvtColor(img, cv2.COLOR_BGR2LAB)
+        flat = lab.reshape(-1, 3)
         if n > limit:
             idx = np.random.default_rng(seed).choice(n, size=limit, replace=False)
+            sample = flat[idx].astype(np.float32)
         else:
-            idx = np.arange(n, dtype=np.int64)
-        lab_dev, sample_dev = _lab_and_sample(img, jnp.asarray(idx))
-        sample = np.ascontiguousarray(sample_dev, dtype=np.float32)
-        # attempts are independent host work (distinct derived RNG streams) —
-        # thread them; each attempt's arithmetic is unchanged
-        inits = np.stack(
-            thread_map(
-                lambda a: _kpp_init(sample, k, np.random.default_rng(seed + 1000 * a)),
-                range(attempts),
-            )
+            sample = flat.astype(np.float32)
+        _, _, centers = cv_kmeans(
+            sample, k, max_count=int(cfg.kmeans_iters), epsilon=0.5, attempts=attempts
+        )
+        labels = assign_labels(flat, centers).reshape(h, w)
+        counts0 = np.bincount(labels.ravel(), minlength=k).astype(np.int64)
+        # raw one-hot masks cross the tunnel bit-packed (8 px/byte); the
+        # 3×3 clean-up and any fused 03/04 work stay on device
+        packed_raw = jnp.asarray(
+            np.stack([np.packbits(labels == kk, axis=-1) for kk in range(k)])
         )
         if fuse:
-            blob_dev, masks_dev = _fit_assign_chain(
-                lab_dev,
-                sample_dev,
-                jnp.asarray(inits),
-                k,
-                int(cfg.kmeans_iters),
+            blob_dev, masks_dev = _clean_masks_chain(
+                packed_raw,
+                w,
                 int(cfg.extract_open_iters),
                 int(cfg.extract_close_iters),
                 *edge_params(cfg),
             )
-            stats, packed, chain_packed = _split_blob(np.asarray(blob_dev))
+            blob = np.asarray(blob_dev)
+            packed = blob[: k * h * w8].reshape(k, h, w8)
+            chain_packed = blob[k * h * w8 :].reshape(2 * k, h, w8)
         else:
-            stats_dev, packed_dev, masks_dev = _fit_assign_masks(
-                lab_dev,
-                sample_dev,
-                jnp.asarray(inits),
-                k,
-                int(cfg.kmeans_iters),
+            packed_dev, masks_dev = _clean_masks(
+                packed_raw,
+                w,
                 int(cfg.extract_open_iters),
                 int(cfg.extract_close_iters),
             )
-            stats = np.asarray(stats_dev)
             packed = np.asarray(packed_dev)
-    centers = np.ascontiguousarray(stats[:, :3])
-    counts0 = np.ascontiguousarray(stats[:, 3]).view(np.int32)
 
     # relabel dark→light by the L channel (reference 02:120-127)
     order = np.argsort(centers[:, 0])
@@ -331,8 +323,13 @@ def run(cfg: PipelineConfig) -> None:
         # device-resident copy for stage 03 (identical values to the PNG)
         register_device_artifact(mask_path, masks_dev[int(order[cluster_idx])])
 
-        center_lab = np.clip(np.rint(centers[cluster_idx]), 0, 255).astype(np.uint8)
-        bgr = tuple(int(v) for v in np.asarray(lab_u8_to_bgr(center_lab.astype(np.float32))))
+        # reference truncates: centers_lab[k].astype(np.uint8) → cv2 Lab2BGR
+        # on the 1×1 uint8 image (02:58-61,159); int() below truncates too
+        import cv2  # noqa: PLC0415
+
+        center_lab = centers[cluster_idx].astype(np.uint8)
+        bgr_px = cv2.cvtColor(center_lab.reshape(1, 1, 3), cv2.COLOR_LAB2BGR)[0, 0]
+        bgr = (int(bgr_px[0]), int(bgr_px[1]), int(bgr_px[2]))
         palette[name] = {
             "mode": "kmeans",
             "cluster_index": int(cluster_idx),

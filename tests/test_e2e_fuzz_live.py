@@ -1,5 +1,9 @@
-"""Live-oracle e2e fuzz: random (k-means-separable) images through BOTH
-pipelines — the reference as a subprocess — and byte-compare the streams.
+"""Live-oracle e2e fuzz: random images through BOTH pipelines — the
+reference as a subprocess — and byte-compare the streams.
+
+Includes photo-class (non-separable gradient+noise) inputs: byte-equality
+there requires the bit-exact cv2.kmeans replication (ops/cvkmeans.py), the
+fixed-point Lab conversion, and the exact assignment semantics.
 
 Catches regressions the committed goldens can't: randomized geometry, tap
 configurations, margins, and parameter draws.  Skipped when /root/reference
@@ -94,6 +98,82 @@ def test_e2e_fuzz_stream_byte_identical(tmp_path, seed):
     (mine / "config.json").write_text(json.dumps(cfg))
     run_pipeline(load_config(str(mine / "config.json")), 1, 13)
 
+    a = (ref_out / "plot_stream.bin").read_bytes()
+    b = (mine / "plot_stream.bin").read_bytes()
+    assert a == b, (
+        f"seed {seed}: stream differs (lens {len(a)}/{len(b)}, first diff at "
+        f"{next((i for i, (x, y) in enumerate(zip(a, b)) if x != y), 'len')})"
+    )
+
+
+def _photo_image(rng, w, h):
+    """Photo-class: smooth gradients + noise + a few hard shapes.  K-means is
+    NOT trivially separable here — cluster boundaries cut through continuous
+    color ramps, so byte-equality proves the cv2-exact k-means chain."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    f = [float(rng.uniform(17, 53)) for _ in range(5)]
+    img = np.stack(
+        [
+            120 + 80 * np.sin(xx / f[0]) + 40 * np.cos(yy / f[1]),
+            90 + 70 * np.cos(xx / f[2] + yy / f[3]),
+            140 + 60 * np.sin((xx + yy) / f[4]),
+        ],
+        axis=-1,
+    )
+    img += rng.normal(0, float(rng.uniform(5, 18)), img.shape)
+    for _ in range(int(rng.integers(1, 5))):
+        c = tuple(int(v) for v in rng.integers(0, 256, 3))
+        x, y = int(rng.integers(0, w)), int(rng.integers(0, h))
+        r = int(rng.integers(10, max(11, min(w, h) // 3)))
+        if rng.random() < 0.5:
+            cv2.circle(img, (x, y), r, c, -1)
+        else:
+            cv2.rectangle(img, (x, y), (x + r, y + int(r * 0.8)), c, -1)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("seed", [31, 47, 59])
+def test_e2e_fuzz_photo_byte_identical(tmp_path, seed):
+    """Photo-class inputs: every stage artifact (palette json, masks, edges,
+    composites) plus the stream must be byte-identical to the reference."""
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(160, 320)), int(rng.integers(140, 260))
+    img_path = tmp_path / "photo.png"
+    cv2.imwrite(str(img_path), _photo_image(rng, w, h))
+
+    ref_out = tmp_path / "ref"
+    ref_out.mkdir()
+    cfg = _fuzz_cfg(rng, img_path, ref_out)
+    (ref_out / "config.json").write_text(json.dumps(cfg))
+    subprocess.run(
+        [sys.executable, str(REF), str(img_path), "--output", str(ref_out), "--end-step", "13"],
+        check=True,
+        env=dict(os.environ, PYTHONUNBUFFERED="1"),
+        cwd=str(REF.parent),
+        capture_output=True,
+        timeout=600,
+    )
+
+    from plotweave.config import load_config
+    from plotweave.pipeline import run_pipeline
+
+    mine = tmp_path / "mine"
+    mine.mkdir()
+    cfg["output_dir"] = str(mine)
+    (mine / "config.json").write_text(json.dumps(cfg))
+    run_pipeline(load_config(str(mine / "config.json")), 1, 13)
+
+    assert json.loads((ref_out / "palette_by_name.json").read_text()) == json.loads(
+        (mine / "palette_by_name.json").read_text()
+    )
+    pngs = ["edges_composite.png", "scaled_preview_composite.png",
+            "preview_intra_composite.png", "preview_cross_composite.png"]
+    pngs += [f"{n}/{f}" for n in NAMES for f in ("mask.png", "edges.png")]
+    for f in pngs:
+        ra = cv2.imread(str(ref_out / f), cv2.IMREAD_UNCHANGED)
+        rb = cv2.imread(str(mine / f), cv2.IMREAD_UNCHANGED)
+        assert ra is not None and rb is not None, f
+        assert ra.shape == rb.shape and (ra == rb).all(), f"seed {seed}: {f} differs"
     a = (ref_out / "plot_stream.bin").read_bytes()
     b = (mine / "plot_stream.bin").read_bytes()
     assert a == b, (

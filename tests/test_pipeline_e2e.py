@@ -6,9 +6,9 @@ same image/config and compares EVERY stage artifact — masks, edges, all six
 pickle stages, the manifest — and finally requires plot_stream.bin to be
 byte-identical (the SURVEY §6 headline metric).
 
-The synthetic image uses well-separated solid colors so that k-means (whose
-cv2 RNG cannot be reproduced) converges to the identical Voronoi assignment
-in both implementations.
+Byte-equality holds on arbitrary inputs (photo-class included) since the
+cv2-exact k-means replication (ops/cvkmeans.py); the photo-input cases live
+in test_e2e_fuzz_live.py against the live reference.
 """
 
 from __future__ import annotations
@@ -168,16 +168,23 @@ def test_edges_composite_identical(runs):
     "fname",
     ["scaled_preview_composite.png", "preview_intra_composite.png", "preview_cross_composite.png"],
 )
-def test_composites_near_identical(runs, fname):
-    """Composites use palette approx_bgr, which differs by ≤2 code units
-    between Lab implementations; near-white AA fringes then toggle the
-    reference's (img != 255) overlay mask, so a small pixel fraction may
-    differ structurally.  Bound it."""
+def test_composites_identical(runs, fname):
+    """Composites use palette approx_bgr — exact since the cv2-exact k-means
+    + fixed-point Lab path (ops/cvkmeans.py), so bytes must match."""
     import cv2
 
     ref, mine, _layers = runs
     a = cv2.imread(str(ref / fname))
     b = cv2.imread(str(mine / fname))
     assert a is not None and b is not None and a.shape == b.shape
-    frac = (a != b).any(axis=2).mean()
-    assert frac < 0.02, f"{fname}: {frac:.4f} of pixels differ"
+    assert (a == b).all(), f"{fname}: {(a != b).any(axis=2).mean():.4f} of pixels differ"
+
+
+def test_palette_identical(runs):
+    """palette_by_name.json must match exactly: cluster Lab ints (truncation
+    semantics), approx_bgr (cv2 Lab2BGR on the truncated uint8 center),
+    pixel counts and mask nonzeros (02:156-173)."""
+    ref, mine, _layers = runs
+    a = json.loads((ref / "palette_by_name.json").read_text())
+    b = json.loads((mine / "palette_by_name.json").read_text())
+    assert a == b
