@@ -182,6 +182,104 @@ def test_e2e_fuzz_photo_byte_identical(tmp_path, seed):
     )
 
 
+_SWATCH_ORACLE = r"""
+import importlib.util, json, sys
+sys.path.insert(0, "/root/reference/image_processor")
+import config as ref_config
+
+cfg_path, = sys.argv[1:]
+data = json.loads(open(cfg_path).read())
+fields = set(ref_config.Config.__dataclass_fields__.keys())
+cfg = ref_config.Config(**{k: v for k, v in data.items() if k in fields})
+# the reference drops unknown JSON keys (config.py:124-126), so its swatch
+# branch (02:82-109) is unreachable via config.json; attach the key the way
+# getattr probes expect to drive the REAL branch as an oracle
+for k in ("extraction_mode", "color_tolerance"):
+    if k in data:
+        setattr(cfg, k, data[k])
+ref_config.load_config = lambda path=None: cfg
+spec = importlib.util.spec_from_file_location(
+    "ref02", "/root/reference/image_processor/02_color_extract.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+mod.load_config = lambda: cfg
+mod.main()
+"""
+
+
+@pytest.mark.parametrize("seed", [71, 83])
+def test_swatch_mode_mask_oracle(tmp_path, seed):
+    """Legacy extraction_mode="swatch" (02:82-109): per-swatch inRange ±
+    tolerance, trying both RGB→BGR and as-is orderings and keeping the mask
+    with more nonzeros.  The reference drops the `extraction_mode` config key
+    (config.py:124-126) so the branch is config-unreachable there; the oracle
+    drives the reference's REAL swatch code directly.  Half the configured
+    swatches are RGB-ordered and half BGR so both orderings win somewhere."""
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(150, 260)), int(rng.integers(130, 220))
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :] = PALETTE[-1]
+    for i, c in enumerate(PALETTE):
+        for _ in range(3):
+            x, y = int(rng.integers(0, w)), int(rng.integers(0, h))
+            r = int(rng.integers(12, 55))
+            if rng.random() < 0.5:
+                cv2.circle(img, (x, y), r, c, -1)
+            else:
+                cv2.rectangle(img, (x, y), (x + r, y + int(r * 0.8)), c, -1)
+    # noise so tolerance boundaries are actually exercised
+    img = np.clip(img.astype(np.int16) + rng.integers(-6, 7, img.shape), 0, 255).astype(np.uint8)
+    img_path = tmp_path / "img.png"
+    cv2.imwrite(str(img_path), img)
+
+    # swatches 0,2 as-is (BGR wins), swatches 1,3 reversed (RGB→BGR wins)
+    swatches = [list(c) if i % 2 == 0 else list(c[::-1]) for i, c in enumerate(PALETTE)]
+    ref_out = tmp_path / "ref"
+    ref_out.mkdir()
+    cfg = _fuzz_cfg(rng, img_path, ref_out)
+    cfg["extraction_mode"] = "swatch"
+    cfg["colors"] = swatches
+    cfg["color_tolerance"] = int(rng.integers(12, 40))
+    (ref_out / "config.json").write_text(json.dumps(cfg))
+    # reference step 01 then the monkeypatched swatch step 02
+    subprocess.run(
+        [sys.executable, str(REF), str(img_path), "--output", str(ref_out),
+         "--start-step", "1", "--end-step", "1"],
+        check=True, env=dict(os.environ, PYTHONUNBUFFERED="1"),
+        cwd=str(REF.parent), capture_output=True, timeout=600,
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", _SWATCH_ORACLE, str(ref_out / "config.json")],
+        env=dict(os.environ, PYTHONUNBUFFERED="1"),
+        capture_output=True, timeout=600, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    from plotweave.config import load_config
+    from plotweave.pipeline import run_pipeline
+
+    mine = tmp_path / "mine"
+    mine.mkdir()
+    cfg["output_dir"] = str(mine)
+    (mine / "config.json").write_text(json.dumps(cfg))
+    run_pipeline(load_config(str(mine / "config.json")), 1, 13)
+
+    assert not (mine / "palette_by_name.json").exists()  # swatch mode writes none
+    for n in NAMES:
+        ra = cv2.imread(str(ref_out / n / "mask.png"), cv2.IMREAD_GRAYSCALE)
+        rb = cv2.imread(str(mine / n / "mask.png"), cv2.IMREAD_GRAYSCALE)
+        assert ra is not None and rb is not None, n
+        assert ra.shape == rb.shape and (ra == rb).all(), f"seed {seed}: {n}/mask.png differs"
+
+    # the plotweave swatch chain must also run through to a decodable stream
+    from plotweave.stream.decoder import StreamDecoder, replay
+
+    man = json.loads((mine / "vector_manifest.json").read_text())
+    dec = StreamDecoder((mine / "plot_stream.bin").read_bytes())
+    replay(dec, *man["image_size"])
+    assert dec.stats.eof_seen and dec.stats.off_canvas_steps == 0
+
+
 PALETTE8 = [
     (20, 20, 20), (60, 40, 100), (40, 60, 200), (60, 170, 60),
     (190, 120, 50), (140, 180, 220), (90, 210, 230), (235, 230, 225),
