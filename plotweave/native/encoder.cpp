@@ -521,7 +521,7 @@ extern "C" int64_t pw_virtual_draw(
         if (ttail > thead) {
             int64_t lastidx = tailq[ttail - 1];
             double dx = x - sx[lastidx], dy = y - sy[lastidx];
-            tail_len += std::sqrt(dx * dx + dy * dy);
+            tail_len += std::sqrt(std::fma(dy, dy, dx * dx));  // == np.linalg.norm (ddot fma order)
         }
         tailq[ttail++] = i;
 
@@ -531,7 +531,7 @@ extern "C" int64_t pw_virtual_draw(
             if (ttail > thead) {
                 int64_t nx = tailq[thead];
                 double dx = sx[nx] - sx[oldi], dy = sy[nx] - sy[oldi];
-                tail_len -= std::sqrt(dx * dx + dy * dy);
+                tail_len -= std::sqrt(std::fma(dy, dy, dx * dx));
             } else {
                 tail_len = 0.0;
             }
@@ -558,7 +558,7 @@ extern "C" int64_t pw_virtual_draw(
         if (ttail > thead) {
             int64_t nx = tailq[thead];
             double dx = sx[nx] - sx[oldi], dy = sy[nx] - sy[oldi];
-            tail_len -= std::sqrt(dx * dx + dy * dy);
+            tail_len -= std::sqrt(std::fma(dy, dy, dx * dx));
         } else {
             tail_len = 0.0;
         }

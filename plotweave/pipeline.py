@@ -118,6 +118,9 @@ def run_pipeline(
             except Exception:
                 if on_error == "raise":
                     raise
+                import traceback
+
+                traceback.print_exc()
                 print(f"Error in step {i + 1} ({module})", file=sys.stderr)
                 sys.exit(1)
             print(f"[{i + 1}/{MAX_STEP}] done in {time.perf_counter() - t0:.2f}s", flush=True)

@@ -36,6 +36,26 @@ from .sort import reorder_intra
 
 Tap = Tuple[int, int]
 
+# np.linalg.norm on a float64 2-vector goes through BLAS ddot, whose n=2
+# kernel computes fma(d1, d1, d0*d0) — one ulp off plain d0²+d1² in ~0.3%
+# of inputs.  The reference's tail-length bookkeeping (08:141,149) uses that
+# norm, and the aging comparison `tail_len > tail_len_px` is ulp-sensitive
+# for small tails, so the fallback replicates it via libm fma (Python 3.12
+# has no math.fma).  Exactness is pinned by tests/test_norm_semantics.py.
+try:
+    import ctypes as _ctypes
+
+    _libm = _ctypes.CDLL("libm.so.6")
+    _libm.fma.restype = _ctypes.c_double
+    _libm.fma.argtypes = [_ctypes.c_double] * 3
+    _fma = _libm.fma
+
+    def _norm2(dx: float, dy: float) -> float:
+        return math.sqrt(_fma(dy, dy, dx * dx))
+except OSError:  # pragma: no cover — non-glibc hosts
+    def _norm2(dx: float, dy: float) -> float:
+        return float(np.linalg.norm(np.array((dx, dy))))
+
 # BFS probe order (dy, dx) of the reference's Stage-B walks (08:252)
 _BFS_OFFS = ((-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1))
 
@@ -129,9 +149,12 @@ def virtual_draw_cut(
             return frags
     except (OSError, RuntimeError):
         pass
-    # scalar Python floats throughout the loop: math.sqrt(dx*dx+dy*dy) on
-    # doubles is bit-identical to np.linalg.norm on a float64 2-vector, and
-    # avoids ~20 numpy-scalar allocations per sample (the loop's former cost)
+    # scalar Python floats throughout the loop (avoids ~20 numpy-scalar
+    # allocations per sample); the tail-length increments MUST replicate
+    # np.linalg.norm on a float64 2-vector bit-exactly (08:141,149) — BLAS
+    # ddot computes fma(dy, dy, dx*dx), one ulp off plain dx*dx+dy*dy in
+    # ~0.3% of cases, and with tiny tails that flips the aging loop (found
+    # by lattice fuzz seed 1078) — hence _norm2 below
     pts = [(float(x), float(y)) for x, y in samples]
 
     grid = PointGrid(radius=grid_radius, cell=grid_cell)
@@ -141,7 +164,6 @@ def virtual_draw_cut(
     frags: List[np.ndarray] = []
     cur: List[Tuple[float, float]] = []
     last_committed: Optional[Tuple[int, int]] = None
-    sqrt = math.sqrt
     canvas_get = canvas.item
 
     def commit(xy: Tuple[float, float]) -> None:
@@ -159,9 +181,7 @@ def virtual_draw_cut(
             grid.add(old[0], old[1])
             if tail:
                 nxt = tail[0]
-                dx = nxt[0] - old[0]
-                dy = nxt[1] - old[1]
-                tail_len -= sqrt(dx * dx + dy * dy)
+                tail_len -= _norm2(nxt[0] - old[0], nxt[1] - old[1])
             else:
                 tail_len = 0.0
             commit(old)
@@ -169,9 +189,7 @@ def virtual_draw_cut(
     for xy in pts:
         if tail:
             prev = tail[-1]
-            dx = xy[0] - prev[0]
-            dy = xy[1] - prev[1]
-            tail_len += sqrt(dx * dx + dy * dy)
+            tail_len += _norm2(xy[0] - prev[0], xy[1] - prev[1])
         tail.append(xy)
         age_out()
 

@@ -182,6 +182,224 @@ def test_e2e_fuzz_photo_byte_identical(tmp_path, seed):
     )
 
 
+POOL_NAMES = [
+    "layer_dark", "deep_dark", "layer_mid", "mid_red", "mid_green",
+    "layer_skin", "accent", "layer_light", "light_yellow", "extra_a", "extra_b",
+]
+
+
+def _lattice_cfg(rng, img_path, out, k):
+    """Randomized draw over the reference-REACHABLE config lattice (only
+    registered dataclass fields — config.py fields; unregistered keys like
+    keep_aspect/target_*_px are dropped by the reference and are
+    oracle-tested separately via the stage-05 branch oracle)."""
+    cfg = {
+        "input_image": str(img_path),
+        "output_dir": str(out),
+        "edge_low_threshold": int(rng.integers(15, 60)),
+        "edge_high_threshold": int(rng.integers(60, 160)),
+        "edge_kernel_size": int(rng.choice([3, 5, 7])),
+        "edge_morph_kernel": int(rng.choice([3, 5])),
+        "edge_morph_open_iters": int(rng.integers(0, 3)),
+        "edge_morph_close_iters": int(rng.integers(0, 3)),
+        "pixels_per_mm": int(rng.integers(2, 5)),
+        "pen_width_px": int(rng.integers(6, 20)),
+        "pen_radius_px": int(rng.integers(3, 10)),
+        "margin_left_mm": float(rng.integers(-4, 16)),   # negative → clamp
+        "margin_right_mm": float(rng.integers(0, 16)),
+        "margin_top_mm": float(rng.integers(0, 16)),
+        "margin_bottom_mm": float(rng.integers(-4, 16)),
+        "min_contour_area": int(rng.integers(20, 60)),
+        "dedup_sample_step": int(rng.choice([1, 2, 3])),
+        "collision_radius_intra_px": int(rng.integers(4, 14)),
+        "collision_radius_global_px": int(rng.integers(4, 14)),
+        "max_join_jump_px": int(rng.integers(10, 40)),
+        "hash_stride_px": int(rng.integers(8, 32)),
+        "ignore_tail_points_intra": int(rng.integers(0, 4)),
+        "tap_max_dim": int(rng.integers(6, 14)),
+        "tap_max_perimeter": int(rng.integers(20, 60)),
+        "tap_merge_radius_px": int(rng.integers(4, 16)),
+    }
+    if rng.random() < 0.3:
+        cfg["target_width_mm"] = 0   # → canvas falls back to resized px size
+        cfg["target_height_mm"] = 0
+    else:
+        cfg["target_width_mm"] = int(rng.integers(90, 240))
+        cfg["target_height_mm"] = int(rng.integers(110, 300))
+    if rng.random() < 0.35:
+        cfg["max_dimension"] = int(rng.integers(120, 200))  # forces INTER_AREA
+    r = rng.random()
+    if r < 0.25:
+        cfg["stream_color_by_order"] = [int(v) for v in rng.integers(0, 10, k)]
+    elif r < 0.4:
+        cfg["stream_force_color_index"] = int(rng.integers(0, 8))
+    return cfg
+
+
+@pytest.mark.parametrize("seed", [1001 + 7 * i for i in range(12)])
+def test_e2e_fuzz_lattice(tmp_path, seed):
+    """Branch-lattice fuzz: 1–8 layers (names drawn from a pool with rank
+    ties and unknown-name fallbacks), resize-triggering max_dimension, the
+    target-size mm→resized fallback, margin clamping, tap-heavy and
+    dedup-parameter draws, and color-remap variants — streams byte-identical
+    against the live reference."""
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(1, 9))
+    names = list(rng.choice(POOL_NAMES, size=k, replace=False))
+    colors = [PALETTE8[i % 8] for i in rng.permutation(8)[:k]]
+
+    w, h = int(rng.integers(150, 300)), int(rng.integers(130, 260))
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :] = colors[-1]
+    for c in colors:
+        for _ in range(3):
+            x, y = int(rng.integers(0, w)), int(rng.integers(0, h))
+            r = int(rng.integers(16, 60))
+            if rng.random() < 0.5:
+                cv2.circle(img, (x, y), r, c, -1)
+            else:
+                cv2.rectangle(img, (x, y), (x + r, y + int(r * 0.8)), c, -1)
+    img_path = tmp_path / "img.png"
+    cv2.imwrite(str(img_path), img)
+
+    ref_out = tmp_path / "ref"
+    ref_out.mkdir()
+    cfg = _lattice_cfg(rng, img_path, ref_out, k)
+    cfg["color_names"] = names
+    cfg["colors"] = [list(c) for c in colors]
+    (ref_out / "config.json").write_text(json.dumps(cfg))
+    r = subprocess.run(
+        [sys.executable, str(REF), str(img_path), "--output", str(ref_out), "--end-step", "13"],
+        env=dict(os.environ, PYTHONUNBUFFERED="1"),
+        cwd=str(REF.parent),
+        capture_output=True,
+        timeout=600,
+        text=True,
+    )
+    if r.returncode != 0 and "lines_intra.pkl" in (r.stdout + r.stderr):
+        pytest.skip("reference crashed on an empty layer (documented divergence)")
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+
+    from plotweave.config import load_config
+    from plotweave.pipeline import run_pipeline
+
+    mine = tmp_path / "mine"
+    mine.mkdir()
+    cfg["output_dir"] = str(mine)
+    (mine / "config.json").write_text(json.dumps(cfg))
+    run_pipeline(load_config(str(mine / "config.json")), 1, 13)
+
+    a = (ref_out / "plot_stream.bin").read_bytes()
+    b = (mine / "plot_stream.bin").read_bytes()
+    assert a == b, (
+        f"seed {seed} (k={k}, names={names}): stream differs (lens {len(a)}/{len(b)}, "
+        f"first diff at {next((i for i, (x, y) in enumerate(zip(a, b)) if x != y), 'len')})"
+    )
+
+
+_SCALE_ORACLE = r"""
+import importlib.util, json, sys
+sys.path.insert(0, "/root/reference/image_processor")
+import config as ref_config
+
+cfg_path, = sys.argv[1:]
+data = json.loads(open(cfg_path).read())
+fields = set(ref_config.Config.__dataclass_fields__.keys())
+cfg = ref_config.Config(**{k: v for k, v in data.items() if k in fields})
+# unregistered keys the branch logic probes via getattr (05:23-24,67)
+for k in ("target_width_px", "target_height_px", "keep_aspect"):
+    if k in data:
+        setattr(cfg, k, data[k])
+ref_config.load_config = lambda path=None: cfg
+spec = importlib.util.spec_from_file_location(
+    "ref05", "/root/reference/image_processor/05_scale_vectors.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+mod.load_config = lambda: cfg
+mod.main()
+"""
+
+
+@pytest.mark.parametrize("branch", ["px_priority", "mm", "resized_fallback", "no_aspect",
+                                    "px_no_aspect", "partial_px"])
+def test_scale_branch_oracle(tmp_path, branch):
+    """Stage-05 priority chain (05:15-40) + keep_aspect (05:67), including the
+    config-unreachable-in-reference branches (target_*_px / keep_aspect are
+    unregistered keys there) — driven through the reference's REAL code via
+    attribute injection and byte-compared."""
+    rng = np.random.default_rng(hash(branch) % (2**32))
+    w, h = int(rng.integers(120, 300)), int(rng.integers(100, 260))
+    img = np.full((h, w, 3), 255, np.uint8)
+    img_path = tmp_path / "img.png"
+    cv2.imwrite(str(img_path), img)
+
+    cfg = {
+        "input_image": str(img_path),
+        "output_dir": "",
+        "color_names": ["layer_dark", "layer_mid"],
+        "colors": [[20, 20, 20], [40, 60, 200]],
+        "pixels_per_mm": int(rng.integers(2, 6)),
+        "margin_left_mm": float(rng.integers(0, 12)),
+        "margin_right_mm": float(rng.integers(0, 12)),
+        "margin_top_mm": float(rng.integers(0, 12)),
+        "margin_bottom_mm": float(rng.integers(0, 12)),
+        "target_width_mm": int(rng.integers(80, 240)),
+        "target_height_mm": int(rng.integers(80, 300)),
+    }
+    if branch in ("px_priority", "px_no_aspect"):
+        cfg["target_width_px"] = int(rng.integers(300, 900))
+        cfg["target_height_px"] = int(rng.integers(300, 900))
+    if branch == "partial_px":
+        cfg["target_width_px"] = int(rng.integers(300, 900))  # height missing → mm wins
+    if branch == "resized_fallback":
+        cfg["target_width_mm"] = 0
+        cfg["target_height_mm"] = 0
+    if branch in ("no_aspect", "px_no_aspect"):
+        cfg["keep_aspect"] = False
+
+    import pickle
+
+    ref_out = tmp_path / "ref"
+    ref_out.mkdir()
+    for name in cfg["color_names"]:
+        d = ref_out / name
+        d.mkdir()
+        polys = [
+            rng.integers(0, max(w, h), (int(rng.integers(2, 40)), 1, 2)).astype(np.int32)
+            for _ in range(int(rng.integers(2, 7)))
+        ]
+        (d / "contours.pkl").write_bytes(pickle.dumps(polys))
+    cv2.imwrite(str(ref_out / "resized.png"), img)
+    cfg["output_dir"] = str(ref_out)
+    (ref_out / "config.json").write_text(json.dumps(cfg))
+    r = subprocess.run(
+        [sys.executable, "-c", _SCALE_ORACLE, str(ref_out / "config.json")],
+        capture_output=True, timeout=300, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    mine = tmp_path / "mine"
+    mine.mkdir()
+    for name in cfg["color_names"]:
+        (mine / name).mkdir()
+        (mine / name / "contours.pkl").write_bytes((ref_out / name / "contours.pkl").read_bytes())
+    cv2.imwrite(str(mine / "resized.png"), img)
+    cfg["output_dir"] = str(mine)
+    (mine / "config.json").write_text(json.dumps(cfg))
+
+    from plotweave.config import load_config
+    from plotweave.stages.s05_scale import run as run_s05
+
+    run_s05(load_config(str(mine / "config.json")))
+
+    for name in cfg["color_names"]:
+        A = pickle.loads((ref_out / name / "contours_scaled.pkl").read_bytes())
+        B = pickle.loads((mine / name / "contours_scaled.pkl").read_bytes())
+        assert len(A) == len(B)
+        for x, y in zip(A, B):
+            assert np.array_equal(x, y), f"{branch}/{name}"
+
+
 _SWATCH_ORACLE = r"""
 import importlib.util, json, sys
 sys.path.insert(0, "/root/reference/image_processor")
