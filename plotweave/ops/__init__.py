@@ -8,8 +8,8 @@ as shifted-array boolean algebra (fused by XLA), convergence loops via
 
 Bit-exactness contracts (validated against OpenCV in tests):
 
-- ``area_resize``      — bit-exact for integer scale ratios; non-integer
-  ratios may differ on rare half-ULP rounding ties (<1e-5 of pixels).
+- ``area_resize``      — bit-exact for integer AND fractional scale ratios
+  (exact ``resizeArea`` tab + float32 accumulation-order replica).
 - ``gaussian_blur_u8`` — bit-exact for ksize ≤ 7 with sigma=0 (the Q8
   fixed-point small-kernel path).
 - ``morphology``       — bit-exact (binary min/max algebra).

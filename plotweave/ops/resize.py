@@ -8,44 +8,102 @@ Rounding contracts (reference behavior: 01_resize.py:7-23 via cv2.resize):
 
 - integer scale ratio: box sum with round-half-up — bit-exact vs OpenCV's
   fast path.
-- fractional ratio: float32 weights + round-half-even — matches OpenCV except
-  on exact .5 accumulation ties (different summation order), < 1e-5 of pixels.
+- fractional ratio: exact replica of OpenCV's ``resizeArea`` —
+  ``computeResizeAreaTab``'s span table (double intermediates, float32
+  alphas, the 1e-3 sliver thresholds, ``cellWidth`` edge handling),
+  horizontal-then-vertical float32 accumulation in tap order, round
+  half-to-even — bit-exact vs OpenCV (fuzz-pinned in test_ops_raster).
+  Per-destination tap counts are tiny (ceil(scale)+1), so the gather
+  formulation is a handful of vectorized passes, not a dense matmul.
 """
 
 from __future__ import annotations
 
-from functools import partial
+import math
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def _area_weight_matrix(src: int, dst: int) -> np.ndarray:
-    """(dst, src) matrix of pixel-overlap fractions for 1-D area averaging."""
-    scale = src / dst
-    d = np.arange(dst, dtype=np.float64)
-    lo_edge = d * scale
-    hi_edge = lo_edge + scale
-    i = np.arange(src, dtype=np.float64)
-    overlap = np.minimum(hi_edge[:, None], i[None, :] + 1.0) - np.maximum(
-        lo_edge[:, None], i[None, :]
-    )
-    return (np.clip(overlap, 0.0, None) / scale).astype(np.float32)
+@lru_cache(maxsize=64)
+def _resize_area_tab(ssize: int, dsize: int):
+    """OpenCV ``computeResizeAreaTab`` replica (resize.cpp): per destination
+    index, the ordered (source index, float32 alpha) taps.  Returned padded
+    to the max tap count with alpha=0 (adding ``0.0`` is exact, so padding
+    preserves the float32 accumulation order of the real taps)."""
+    scale = ssize / dsize
+    ent = []
+    for dx in range(dsize):
+        fsx1 = dx * scale
+        fsx2 = fsx1 + scale
+        cw = min(scale, ssize - fsx1)
+        sx1 = math.ceil(fsx1)
+        sx2 = min(math.floor(fsx2), ssize - 1)
+        sx1 = min(sx1, sx2)
+        e = []
+        if sx1 - fsx1 > 1e-3:
+            e.append((sx1 - 1, np.float32((sx1 - fsx1) / cw)))
+        inv = np.float32(1.0 / cw)
+        for sx in range(sx1, sx2):
+            e.append((sx, inv))
+        if fsx2 - sx2 > 1e-3:
+            e.append((sx2, np.float32(min(min(fsx2 - sx2, 1.0), cw) / cw)))
+        ent.append(e)
+    taps = max(len(e) for e in ent)
+    si = np.zeros((dsize, taps), np.int32)
+    al = np.zeros((dsize, taps), np.float32)
+    for d, e in enumerate(ent):
+        for t, (s, a) in enumerate(e):
+            si[d, t] = s
+            al[d, t] = a
+    return si, al
 
 
 @partial(jax.jit, static_argnames=("new_w", "new_h"))
-def _area_resize_frac(img: jax.Array, new_w: int, new_h: int) -> jax.Array:
-    h, w = img.shape[:2]
-    wy = jnp.asarray(_area_weight_matrix(h, new_h))
-    wx = jnp.asarray(_area_weight_matrix(w, new_w))
+def _frac_hprod(img: jax.Array, new_w: int, new_h: int) -> jax.Array:
+    xsi, xal = _resize_area_tab(img.shape[1], new_w)
     x = img.astype(jnp.float32)
-    if x.ndim == 2:
-        x = x[:, :, None]
-    # (new_h, w, c) ← (new_h, h) @ (h, w*c); HIGHEST keeps true f32 on the MXU
-    t = jnp.einsum("dh,hwc->dwc", wy, x, precision=jax.lax.Precision.HIGHEST)
-    o = jnp.einsum("dw,hwc->hdc", wx, t, precision=jax.lax.Precision.HIGHEST)
-    o = jnp.clip(jnp.rint(o), 0, 255).astype(jnp.uint8)
+    return jnp.stack(
+        [x[:, xsi[:, t], :] * xal[None, :, t, None] for t in range(xsi.shape[1])]
+    )
+
+
+@partial(jax.jit, static_argnames=("new_w", "new_h"))
+def _frac_hsum_vprod(p: jax.Array, new_w: int, new_h: int) -> jax.Array:
+    ysi, yal = _resize_area_tab(p.shape[1], new_h)
+    hb = p[0]
+    for t in range(1, p.shape[0]):
+        hb = hb + p[t]
+    return jnp.stack(
+        [hb[ysi[:, t], :, :] * yal[:, t, None, None] for t in range(ysi.shape[1])]
+    )
+
+
+@jax.jit
+def _frac_vsum(p: jax.Array) -> jax.Array:
+    out = p[0]
+    for t in range(1, p.shape[0]):
+        out = out + p[t]
+    return jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
+
+
+def _area_resize_frac(img: jax.Array, new_w: int, new_h: int) -> jax.Array:
+    """OpenCV ``ResizeArea`` replica: horizontal pass then vertical pass,
+    accumulating taps in table order, so every float32 rounding step matches.
+
+    Deliberately THREE dispatches, not one fused kernel: products and the
+    additions that consume them must live in separate XLA executables,
+    because XLA:CPU's LLVM backend contracts a fused mul+add into fma even
+    across ``optimization_barrier`` — and OpenCV rounds each product before
+    adding (no fma), so contraction flips half-even ties.  Materializing the
+    product stacks at kernel boundaries is the only contraction-proof cut.
+    (TPU does not contract here, but one implementation must be bit-exact on
+    both backends — the e2e goldens run on both.)
+    """
+    x = img if img.ndim == 3 else img[:, :, None]
+    o = _frac_vsum(_frac_hsum_vprod(_frac_hprod(x, new_w, new_h), new_w, new_h))
     return o if img.ndim == 3 else o[:, :, 0]
 
 

@@ -5,29 +5,36 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-
 from ..config import PipelineConfig
-from ..ops import resize_if_needed
 from ..utils import read_image, register_device_artifact, write_image
 
 
 def run(cfg: PipelineConfig) -> None:
+    import cv2  # noqa: PLC0415
     import jax  # noqa: PLC0415
 
     cfg.ensure_output_dirs()
     img = read_image(cfg.input_image)
-    out_raw, resized = resize_if_needed(img, cfg.max_dimension)
-    out = np.asarray(out_raw)
-    # stage 02 wants the image on device: when a resize ran, its output is
-    # already resident; otherwise start the upload now (async) so the PNG
-    # encode below overlaps the transfer
-    out_dev = out_raw if resized else jax.device_put(out)
     h, w = img.shape[:2]
-    if resized:
+    m = max(h, w)
+    # Resize on HOST and upload only the result: the host→device link is
+    # upload-fast but download-slow (and its bandwidth varies wildly), so a
+    # device-side resize pays a full-resolution upload AND a resized download
+    # (for the PNG) — ~30x the traffic of uploading the small result once.
+    # cv2.resize IS the byte-exactness contract (reference 01_resize.py:20);
+    # ops.area_resize replicates it bit-exactly for device-resident callers
+    # (fused chain, spatial sharding) and is fuzz-pinned against it.
+    if m > cfg.max_dimension:
+        scale = cfg.max_dimension / m
+        out = cv2.resize(
+            img, (int(w * scale), int(h * scale)), interpolation=cv2.INTER_AREA
+        )
         print(f"Resizing: {w}x{h} -> {out.shape[1]}x{out.shape[0]}")
     else:
+        out = img
         print(f"No resize required: {w}x{h}")
+    # async upload overlaps the PNG encode below
+    out_dev = jax.device_put(out)
     dst = os.path.join(cfg.output_dir, "resized.png")
     write_image(dst, out)
     register_device_artifact(dst, out_dev)

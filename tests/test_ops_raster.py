@@ -35,14 +35,32 @@ def test_area_resize_integer_ratio_bit_exact():
         assert (got == ref).all()
 
 
-def test_area_resize_fractional_near_exact():
+def test_area_resize_fractional_bit_exact():
+    # includes the BASELINE config-3 scale (3840→2000, factor 1.92) where the
+    # former weight-matrix formulation lost ~1e-4 of pixels to rounding ties
     for h, w, nh, nw in [(333, 517, 166, 258), (97, 311, 31, 99), (640, 480, 512, 384)]:
         img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
         ref = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_AREA)
         got = np.asarray(area_resize(img, nw, nh))
-        diff = np.abs(got.astype(int) - ref.astype(int))
-        assert diff.max() <= 1
-        assert (diff != 0).mean() < 1e-4  # rare rounding ties only
+        assert (got == ref).all()
+
+
+def test_area_resize_fractional_fuzz_bit_exact():
+    r = np.random.default_rng(17)
+    for _ in range(25):
+        h, w = int(r.integers(40, 500)), int(r.integers(40, 500))
+        nh, nw = int(r.integers(8, h)), int(r.integers(8, w))
+        img = r.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        ref = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_AREA)
+        got = np.asarray(area_resize(img, nw, nh))
+        assert (got == ref).all(), (h, w, nh, nw)
+
+
+def test_area_resize_4k_scale_bit_exact():
+    img = rng.integers(0, 256, (540, 960, 3)).astype(np.uint8)  # 1.92 factor
+    ref = cv2.resize(img, (500, 281), interpolation=cv2.INTER_AREA)
+    got = np.asarray(area_resize(img, 500, 281))
+    assert (got == ref).all()
 
 
 def test_area_resize_grayscale():

@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Reproducible BASELINE config-3 benchmark: 4K 8-layer poster, steps 1-13.
+
+Reference analog: the full subprocess-per-step pipeline
+(/root/reference/image_processor/pipeline.py) on the same image measured
+499.2 s single-core on this host (see BASELINE.md).  Target: >50x, i.e.
+under ~10 s wall.
+
+Usage:
+  python tests/tools/bench_cfg3.py            # warm run (2 runs, report 2nd)
+  python tests/tools/bench_cfg3.py --runs 3
+  python tests/tools/bench_cfg3.py --reference  # re-measure the reference
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[2]
+REFERENCE_S = 514.8  # measured round 2 on THIS generator's poster (--reference)
+
+# 8 well-separated BGR colors (matches tests/golden/e2e/cfg3_8layers.json)
+COLORS8 = [
+    (20, 20, 20), (60, 40, 100), (40, 60, 200), (60, 170, 60),
+    (190, 120, 50), (140, 180, 220), (90, 210, 230), (235, 230, 225),
+]
+NAMES8 = [
+    "layer_dark", "deep_dark", "mid_red", "mid_green",
+    "accent", "layer_skin", "light_yellow", "layer_light",
+]
+
+
+def build_poster_4k(path: Path) -> None:
+    """Deterministic 3840x2160 8-color poster (solid AA-free shapes so the
+    image is k-means friendly and contour-dense like a real poster)."""
+    import cv2
+
+    rng = np.random.default_rng(11)
+    H, W = 2160, 3840
+    img = np.zeros((H, W, 3), np.uint8)
+    img[:, :] = COLORS8[-1]
+    for i, c in enumerate(COLORS8[:-1]):
+        for _ in range(40):
+            x, y = int(rng.integers(0, W)), int(rng.integers(0, H))
+            r = int(rng.integers(30, 260))
+            shape = (i + int(rng.integers(0, 3))) % 3
+            if shape == 0:
+                cv2.circle(img, (x, y), r, c, -1)
+            elif shape == 1:
+                cv2.rectangle(img, (x, y), (x + r, y + int(r * 0.7)), c, -1)
+            else:
+                cv2.ellipse(img, (x, y), (r, max(8, r // 2)),
+                            int(rng.integers(0, 180)), 0, 360, c, -1)
+        # thin outline strokes survive edge detection as separate contours,
+        # so the vector stages (04-13) do poster-scale work instead of
+        # degenerating to a handful of lines
+        for _ in range(80):
+            x, y = int(rng.integers(0, W)), int(rng.integers(0, H))
+            r = int(rng.integers(14, 120))
+            if rng.random() < 0.5:
+                cv2.circle(img, (x, y), r, c, 3)
+            else:
+                cv2.polylines(
+                    img,
+                    [np.array([[x, y], [x + r, y + int(r * .4)],
+                               [x + int(r * .3), y + r]], np.int32)],
+                    bool(rng.random() < 0.5), c, 3)
+    cv2.imwrite(str(path), img)
+
+
+def make_cfg(img: Path, out: Path) -> dict:
+    cfg = json.loads((REPO / "tests/golden/e2e/cfg3_8layers.json").read_text())
+    cfg["input_image"] = str(img)
+    cfg["output_dir"] = str(out)
+    return cfg
+
+
+def run_mine(img: Path, base: Path, tag: str) -> float:
+    from plotweave.config import load_config
+    from plotweave.pipeline import run_pipeline
+
+    out = base / tag
+    out.mkdir()
+    cfg = make_cfg(img, out)
+    (out / "config.json").write_text(json.dumps(cfg))
+    t0 = time.perf_counter()
+    run_pipeline(load_config(str(out / "config.json")), 1, 13)
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--reference", action="store_true")
+    ap.add_argument("--keep", action="store_true", help="print output dir and keep it")
+    args = ap.parse_args()
+
+    base = Path(tempfile.mkdtemp(prefix="pw_cfg3_"))
+    img = base / "poster4k.png"
+    build_poster_4k(img)
+
+    if args.reference:
+        import os
+
+        out = base / "ref"
+        out.mkdir()
+        cfg = make_cfg(img, out)
+        (out / "config.json").write_text(json.dumps(cfg))
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [sys.executable, "/root/reference/image_processor/pipeline.py",
+             str(img), "--output", str(out), "--end-step", "13"],
+            cwd="/root/reference/image_processor",
+            env=dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1"),
+            capture_output=True, text=True, timeout=3600,
+        )
+        dt = time.perf_counter() - t0
+        assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+        print(f"reference: {dt:.1f} s")
+        return
+
+    times = [run_mine(img, base, f"run{i}") for i in range(args.runs)]
+    warm = times[-1]
+    print(json.dumps({
+        "metric": "cfg3_4k_8layer_e2e_s",
+        "value": round(warm, 2),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_S / warm, 1),
+        "all_runs": [round(t, 2) for t in times],
+    }))
+    if args.keep:
+        print("kept:", base)
+    else:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
