@@ -156,6 +156,16 @@ class PipelineConfig:
     #   seed but NOT reference-RNG-compatible — masks are equivalent, not
     #   byte-pinned to the host-exact path on non-separable inputs.
     kmeans_init: str = "host-exact"
+    # Row-shard the stage 02-04 fused raster program over a device mesh
+    # (parallel/spatial.py halo exchange; bit-identical to single-device).
+    # shard_rows: 0 = off; N>0 = shard over up to N devices (fitted down to
+    # the largest row-divisor ≤ min(N, device count); 1 runs the sharded
+    # program on a degenerate 1-device mesh).
+    shard_rows: int = 0
+    # shard_auto_mpx: 0 = off; >0 = auto-engage sharding over all devices
+    # when resized H×W exceeds this many megapixels (the TPU answer to the
+    # reference's resolution cap at 01_resize.py:15-20).
+    shard_auto_mpx: float = 0.0
 
     # ------------------------------------------------------------------
     def ensure_output_dirs(self) -> None:

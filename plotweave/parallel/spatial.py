@@ -218,6 +218,220 @@ def spatial_frontend(
     return jax.jit(fn)(image, centers)
 
 
+# --------------------------------------------------------------------------
+# Batched halo ops: (k, rows, W) layers sharded on the rows axis.  Twins of
+# the single-layer helpers above, but batched over the layer dim so the
+# iterative fixpoints run jointly (vmap-of-while compiles pathologically on
+# this backend — same design rule as the single-device ops).
+
+
+def _with_halo_b(x: jax.Array, h: int, border: str) -> jax.Array:
+    """Halo exchange on axis -2 of (..., rows, W); see :func:`_with_halo`."""
+    n = jax.lax.axis_size(AXIS)
+    i = jax.lax.axis_index(AXIS)
+    down = [(j, j + 1) for j in range(n - 1)]
+    up = [(j, j - 1) for j in range(1, n)]
+    from_above = jax.lax.ppermute(x[..., -h:, :], AXIS, down)
+    from_below = jax.lax.ppermute(x[..., :h, :], AXIS, up)
+
+    if border == "zero":
+        top_fill = jnp.zeros_like(x[..., :h, :])
+        bot_fill = top_fill
+    elif border == "reflect":  # reflect-101
+        top_fill = x[..., 1 : h + 1, :][..., ::-1, :]
+        bot_fill = x[..., -h - 1 : -1, :][..., ::-1, :]
+    elif border == "edge":
+        top_fill = jnp.repeat(x[..., :1, :], h, axis=-2)
+        bot_fill = jnp.repeat(x[..., -1:, :], h, axis=-2)
+    else:
+        raise ValueError(border)
+
+    top = jnp.where(i == 0, top_fill, from_above)
+    bot = jnp.where(i == n - 1, bot_fill, from_below)
+    return jnp.concatenate([top, x, bot], axis=-2)
+
+
+def _morph_halo_b(x: jax.Array, se: np.ndarray, is_max: bool) -> jax.Array:
+    r = se.shape[0] // 2
+    xp = _with_halo_b(x, r, "edge")
+    rows, w = x.shape[-2], x.shape[-1]
+    pad_val = jnp.iinfo(x.dtype).min if is_max else jnp.iinfo(x.dtype).max
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, 0), (r, r)]
+    p = jnp.pad(xp, pad, constant_values=pad_val)
+    ys, xs = np.nonzero(se)
+    acc = None
+    for dy, dx in zip(ys.tolist(), xs.tolist()):
+        win = p[..., dy : dy + rows, dx : dx + w]
+        acc = win if acc is None else (
+            jnp.maximum(acc, win) if is_max else jnp.minimum(acc, win)
+        )
+    return acc
+
+
+def _morph_prog_halo(x, shape: str, ksize: int, iterations: int, program: str):
+    """Halo twin of ops.morphology._morph (same op sequencing)."""
+    se = structuring_element(shape, ksize)
+    for op in program:
+        for _ in range(iterations):
+            x = _morph_halo_b(x, se, is_max=(op == "d"))
+    return x
+
+
+def _blur_halo_b(x: jax.Array, ksize: int) -> jax.Array:
+    kq = jnp.asarray(gaussian_kernel_q8(ksize))
+    r = ksize // 2
+    xi = x.astype(jnp.int32)
+    rows, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, 0), (r, r)]
+    p = jnp.pad(xi, pad, mode="reflect")
+    tmp = sum(p[..., :, i : i + w] * kq[i] for i in range(ksize))
+    tp = _with_halo_b(tmp, r, "reflect")
+    acc = sum(tp[..., i : i + rows, :] * kq[i] for i in range(ksize))
+    return jnp.clip((acc + (1 << 15)) >> 16, 0, 255).astype(jnp.uint8)
+
+
+def _canny_halo_b(img: jax.Array, low: int, high: int, reduce_axes=(AXIS,)) -> jax.Array:
+    """Batched :func:`_canny_halo`: joint hysteresis fixpoint over all layers
+    (and, via ``reduce_axes``, over the whole mesh)."""
+    if low > high:
+        low, high = high, low
+    x2 = _with_halo_b(img, 2, "edge")
+    gx, gy = _sobel_pair(x2)
+    mag = jnp.abs(gx) + jnp.abs(gy)
+    n = jax.lax.axis_size(AXIS)
+    i = jax.lax.axis_index(AXIS)
+    rows = jnp.arange(mag.shape[-2])[:, None]
+    outside = ((i == 0) & (rows < 2)) | ((i == n - 1) & (rows >= mag.shape[-2] - 2))
+    mag = jnp.where(outside, 0, mag)
+    ax = jnp.abs(gx)
+    ay = jnp.abs(gy) << _SHIFT
+    tg22x = ax * _TG22
+    tg67x = tg22x + (ax << (_SHIFT + 1))
+    horiz = ay < tg22x
+    vert = ay > tg67x
+    sign_neg = (gx ^ gy) < 0
+    keep_h = (mag > _nbr(mag, 0, -1)) & (mag >= _nbr(mag, 0, 1))
+    keep_v = (mag > _nbr(mag, -1, 0)) & (mag >= _nbr(mag, 1, 0))
+    keep_d = jnp.where(
+        sign_neg,
+        (mag > _nbr(mag, -1, 1)) & (mag > _nbr(mag, 1, -1)),
+        (mag > _nbr(mag, -1, -1)) & (mag > _nbr(mag, 1, 1)),
+    )
+    keep = jnp.where(horiz, keep_h, jnp.where(vert, keep_v, keep_d))
+
+    cand = ((mag > low) & keep)[..., 2:-2, :]
+    strong = cand & (mag[..., 2:-2, :] > high)
+
+    def sweep(state):
+        edges, _ = state
+        ep = _with_halo_b(edges, 1, "zero")
+        nbr = ep
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    nbr = nbr | _nbr(ep, dy, dx, fill=False)
+        new = cand & nbr[..., 1:-1, :]
+        changed = jax.lax.psum(jnp.any(new != edges).astype(jnp.int32), reduce_axes) > 0
+        return new, changed
+
+    edges, _ = jax.lax.while_loop(lambda s: s[1], sweep, (strong, jnp.array(True)))
+    return jnp.where(edges, jnp.uint8(255), jnp.uint8(0))
+
+
+def _thin_halo_b(edges: jax.Array, max_iter: int = 120, reduce_axes=(AXIS,)) -> jax.Array:
+    x0 = (edges > 0).astype(jnp.int32)
+
+    def sub(x, first):
+        xp = _with_halo_b(x, 1, "zero")
+        return _subpass(xp, first=first, rotated=True)[..., 1:-1, :]
+
+    def body(state):
+        x, it, _ = state
+        x1 = sub(x, True)
+        x2 = sub(x1, False)
+        changed = jax.lax.psum(jnp.any(x2 != x).astype(jnp.int32), reduce_axes) > 0
+        return x2, it + 1, changed
+
+    x, _, _ = jax.lax.while_loop(
+        lambda s: s[2] & (s[1] < max_iter), body, (x0, jnp.int32(0), jnp.array(True))
+    )
+    return x
+
+
+def fit_shard_rows(h: int, requested: int, n_devices: int) -> int:
+    """Largest shard count ≤ min(requested, n_devices) that divides ``h``
+    evenly (shard_map needs equal row slabs; remainder handling is a
+    documented non-goal — see ROADMAP)."""
+    cap = max(1, min(int(requested), int(n_devices)))
+    for n in range(cap, 0, -1):
+        if h % n == 0:
+            return n
+    return 1
+
+
+def sharded_clean_chain(
+    mesh: Mesh,
+    packed_raw,
+    w: int,
+    open_iters: int,
+    close_iters: int,
+    mk: int,
+    oi: int,
+    ci: int,
+    bk: int,
+    lo: int,
+    hi: int,
+):
+    """Row-sharded twin of stage 02's fused ``_clean_masks_chain`` device
+    program (s02_color_extract.py): unpack the uploaded one-hot masks, mask
+    clean-up, stage 03's morphology+blur+Canny, stage 04's thinning — with
+    rows split over the ``space`` mesh axis and halos exchanged over ICI.
+
+    Bit-identical to the unsharded program: returns the same flat u8 blob
+    ``[packed masks][packed edges][packed skels]`` plus the (k, H, W) masks.
+    This is the TPU answer to the reference's resolution cap
+    (01_resize.py:15-20): an image too large for one chip's HBM streams
+    through N chips' HBM instead of being downscaled.
+    """
+    from ..ops.bitpack import bitpack_rows, bitunpack_rows  # noqa: PLC0415
+
+    def local(packed):
+        masks = bitunpack_rows(packed, w) * jnp.uint8(255)
+        if open_iters > 0:
+            masks = _morph_prog_halo(masks, "rect", 3, open_iters, "ed")
+        if close_iters > 0:
+            masks = _morph_prog_halo(masks, "rect", 3, close_iters, "de")
+        m = masks
+        if oi > 0:
+            m = _morph_prog_halo(m, "ellipse", mk, oi, "ed")
+        if ci > 0:
+            m = _morph_prog_halo(m, "ellipse", mk, ci, "de")
+        edges = _canny_halo_b(_blur_halo_b(m, bk), lo, hi)
+        skels = _thin_halo_b(edges)
+        return bitpack_rows(masks), bitpack_rows(edges), bitpack_rows(skels), masks
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, AXIS, None),),
+        out_specs=(
+            P(None, AXIS, None),
+            P(None, AXIS, None),
+            P(None, AXIS, None),
+            P(None, AXIS, None),
+        ),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def run(packed):
+        pm, pe, ps, masks = fn(packed)
+        blob = jnp.concatenate([pm.reshape(-1), pe.reshape(-1), ps.reshape(-1)])
+        return blob, masks
+
+    return run(packed_raw)
+
+
 def grid_frontend(
     mesh: Mesh,
     images,

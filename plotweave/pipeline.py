@@ -176,6 +176,13 @@ def parse_args(argv=None):
     ap.add_argument("--colors", dest="colors_json", help="BGR swatches as JSON, e.g. [[0,0,0],[255,0,0]]")
     ap.add_argument("--backend", choices=["exact", "tpu"], default=None, help="compute backend override")
     ap.add_argument(
+        "--shard-rows",
+        type=int,
+        dest="shard_rows",
+        help="row-shard the stage 02-04 raster program over up to N devices "
+        "(bit-identical; fitted to the largest row divisor ≤ device count)",
+    )
+    ap.add_argument(
         "--batch-dir",
         help="process every image in this directory (one <output>/<stem>/ run each, "
         "host threads overlapping device work); ignores input_image",
@@ -252,6 +259,7 @@ def main(argv=None) -> None:
         "target_width_mm": args.target_width_mm,
         "target_height_mm": args.target_height_mm,
         "compute_backend": args.backend,
+        "shard_rows": args.shard_rows,
     }
     if args.colors_json:
         try:

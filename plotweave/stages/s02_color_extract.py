@@ -163,6 +163,30 @@ def _clean_masks_chain(
     return blob, masks
 
 
+def _resolve_shard_n(cfg: PipelineConfig, h: int, w: int) -> int:
+    """Row-shard count for the fused raster chain: 0 = unsharded.
+
+    ``shard_rows`` N>0 explicitly requests the sharded program (fitted to
+    the largest row-divisor ≤ min(N, device count); N=1 exercises the
+    degenerate 1-device mesh).  ``shard_auto_mpx`` auto-engages over all
+    devices when the resized image exceeds that many megapixels — the
+    TPU-native replacement for the reference's resolution cap."""
+    from ..parallel.spatial import fit_shard_rows  # noqa: PLC0415
+
+    req = int(getattr(cfg, "shard_rows", 0) or 0)
+    auto = float(getattr(cfg, "shard_auto_mpx", 0) or 0)
+    if req <= 0 and auto <= 0:
+        return 0
+    ndev = len(jax.devices())
+    if req > 0:
+        return fit_shard_rows(h, req, ndev)
+    if h * w / 1e6 > auto:
+        n = fit_shard_rows(h, ndev, ndev)
+        if n > 1:
+            return n
+    return 0
+
+
 def _swatch_mode(cfg: PipelineConfig, img: np.ndarray) -> None:
     """Threshold ±tolerance around each swatch, trying both channel orders and
     keeping the better-covered mask (02:82-109)."""
@@ -266,13 +290,29 @@ def run(cfg: PipelineConfig) -> None:
             np.stack([np.packbits(labels == kk, axis=-1) for kk in range(k)])
         )
         if fuse:
-            blob_dev, masks_dev = _clean_masks_chain(
-                packed_raw,
-                w,
-                int(cfg.extract_open_iters),
-                int(cfg.extract_close_iters),
-                *edge_params(cfg),
-            )
+            shard_n = _resolve_shard_n(cfg, h, w)
+            if shard_n >= 1:
+                from ..parallel import make_mesh  # noqa: PLC0415
+                from ..parallel.spatial import sharded_clean_chain  # noqa: PLC0415
+
+                mesh = make_mesh((shard_n,), ("space",))
+                print(f"[shard] raster chain row-sharded over {shard_n} device(s)")
+                blob_dev, masks_dev = sharded_clean_chain(
+                    mesh,
+                    packed_raw,
+                    w,
+                    int(cfg.extract_open_iters),
+                    int(cfg.extract_close_iters),
+                    *edge_params(cfg),
+                )
+            else:
+                blob_dev, masks_dev = _clean_masks_chain(
+                    packed_raw,
+                    w,
+                    int(cfg.extract_open_iters),
+                    int(cfg.extract_close_iters),
+                    *edge_params(cfg),
+                )
             blob = np.asarray(blob_dev)
             packed = blob[: k * h * w8].reshape(k, h, w8)
             chain_packed = blob[k * h * w8 :].reshape(2 * k, h, w8)
