@@ -7,8 +7,19 @@ multi-pass dataflow XLA schedules for the unfused graph.  Row-tile halos are
 assembled from the clamped neighbor blocks (edge tiles substitute zeros); the
 padded layout keeps the lane dimension 128-aligned.
 
-Output is bit-identical to ops.thinning.zhang_suen (both ring orientations);
-tested on the CPU interpreter path and benchmarked on the chip.
+``zhang_suen_packed_pallas`` (v3) runs the bit-packed subpass
+(ops.thinning's 32-px-per-lane bitboards) with the ENTIRE convergence loop
+inside one kernel per layer.  Measured on the 4×1500×2000 stress case it
+lands at 4.7 ms — close to, but not beating, the packed XLA while_loop
+(4.45 ms) because the per-layer grid programs serialize the four layers'
+fixpoints, while XLA batches them jointly; a joint-k VMEM-resident plane
+would need ~30 MB of live bitboards (> 16 MB VMEM).  The packed XLA path
+(ops.thinning.zhang_suen) is therefore the production thinner; these
+kernels are kept as bit-identical, tested references for Pallas patterns
+(neighbor-block halos in v1, whole-plane in-kernel fixpoints in v3).
+
+All variants are bit-identical to ops.thinning.zhang_suen on both ring
+orientations; tested on the CPU interpreter path and benchmarked on chip.
 """
 
 from __future__ import annotations
@@ -136,124 +147,62 @@ def zhang_suen_pallas(
     return out[0] if squeeze else out
 
 
-# --------------------------------------------------------------------- v2
+# --------------------------------------------------------------------- v3
 #
-# Second-generation kernel: uint8 HBM storage (4× less traffic than int32),
-# a manually-DMA'd clamped halo window per row tile (≈1.1× read amplification
-# vs 3× for the neighbor-block trick above), and the convergence flag reduced
-# per-tile inside the kernel (no separate whole-array != pass).
-#
-# Measured on v5e-1 (4×1500×2000 dense input, 120 iterations): v2 ≈ 5.9 ms
-# vs 5.2 ms for the fused XLA while_loop — the subpass is VPU-compute-bound
-# (~50 elementwise ops per vector), not HBM-bound, and XLA's fusion is
-# already near-optimal, so XLA remains the production thinner.  v2 is kept
-# as the template for halo-window DMA kernels (and is bit-identical).
-#
-# Mosaic constraints encoded here: no i8 vector compute (widen to i32 after
-# load), DMA row slices 8-aligned (pl.multiple_of), no scalar-predicated
-# vector selects (blend static slices with 0/1 scalar weights).
-
-from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+# Bit-packed whole-layer kernel (ROADMAP #6's "only idea with real
+# headroom", realized): 32 px per uint32 lane via ops.thinning's bitboard
+# subpass (carry-save-adder neighbor counts), the ENTIRE convergence loop
+# inside one kernel per layer with the packed plane VMEM-resident — no
+# per-iteration kernel launches, no HBM round trips, ~16x fewer VPU ops
+# than the dense subpass.  Layers ride the grid (independent fixpoints).
 
 
-def _zs_iter_kernel_v2(rotated: bool, tile: int, win: int, hp: int, x_hbm, out_ref, chg_ref, scratch, sem):
-    i = pl.program_id(1)
-    n = pl.num_programs(1)
-    l = pl.program_id(0)
-    # clamped halo window: interior tiles carry 8 extra rows on each side
-    # (DMA slices must stay 8-row aligned; only 2 are semantically needed);
-    # at the image top/bottom the window is flush with the buffer edge, where
-    # the kernel's zero tile boundary IS the true image boundary
-    start = pl.multiple_of(jnp.clip(i * tile - 8, 0, hp - win), 8)
-    cp = pltpu.make_async_copy(x_hbm.at[l, pl.ds(start, win), :], scratch, sem)
-    cp.start()
-    cp.wait()
-    # storage dtype keeps HBM traffic down; compute widens to a Mosaic-
-    # supported vector width immediately after load
-    t = scratch[:].astype(jnp.int32)
-    t1 = _subpass_tile(t, first=True, rotated=rotated)
-    t2 = _subpass_tile(t1, first=False, rotated=rotated)
-    # body offset within the window: 0 at the top edge, 8 interior, 16 at the
-    # bottom — only three static cases, so a switch of static slices lowers
-    # (Pallas TPU cannot dynamic-slice values)
-    if win == tile:  # single block: window flush with the whole image
-        body, prev = t2, t
-    else:
-        # blend the three static slices with 0/1 scalar weights — scalar-
-        # predicated vector selects (lax.switch/jnp.where) do not legalize
-        top = (i == 0).astype(jnp.int32)
-        bot = ((i > 0) & (i == n - 1)).astype(jnp.int32)
-        mid = 1 - top - bot
+def _zs_packed_kernel(rotated: bool, max_iter: int, x_ref, out_ref):
+    from .thinning import _subpass_bits  # noqa: PLC0415
 
-        def blend(u):
-            return top * u[0:tile] + mid * u[8 : tile + 8] + bot * u[16 : tile + 16]
-
-        body = blend(t2)
-        prev = blend(t)
-    out_ref[0] = body.astype(out_ref.dtype)
-    flag = jnp.any(body != prev).astype(jnp.int32)
-    chg_ref[0, 0] = jnp.broadcast_to(flag, (8, 128))
-
-
-
-
-@partial(jax.jit, static_argnames=("max_iter", "rotated", "tile", "interpret"))
-def zhang_suen_pallas_v2(
-    binary: jax.Array,
-    max_iter: int = 120,
-    rotated: bool = True,
-    tile: int = 128,
-    interpret: bool = False,
-) -> jax.Array:
-    """(k, H, W) 0/1 or 0/255 → 0/1 uint8 skeletons, bit-identical to
-    ops.thinning.zhang_suen (see header: XLA remains the default thinner).
-    tile ≤ 128 — larger tiles overflow scoped VMEM on v5e."""
-    if tile % 8 or tile < 16:
-        raise ValueError("tile must be a multiple of 8 and ≥ 16 (DMA row alignment)")
-    x0 = (binary > 0).astype(jnp.uint8)
-    squeeze = x0.ndim == 2
-    if squeeze:
-        x0 = x0[None]
-    k, h, w = x0.shape
-    hp = -(-h // tile) * tile
-    wp = -(-(w + 2) // 128) * 128
-    # 1 zero column on the left keeps real pixels inside the lane frame;
-    # no row halo is stored — windows clamp to the buffer edges
-    xp = jnp.pad(x0, ((0, 0), (0, hp - h), (1, wp - w - 1)))
-    kp = k
-    nblk = hp // tile
-    win = tile + 16 if nblk > 1 else tile
-
-    kernel = partial(_zs_iter_kernel_v2, rotated, tile, win, hp)
-
-    def one_iter(x):
-        return pl.pallas_call(
-            kernel,
-            grid=(kp, nblk),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=[
-                pl.BlockSpec((1, tile, wp), lambda l, i: (l, i, 0)),
-                pl.BlockSpec((1, 1, 8, 128), lambda l, i: (l, i, 0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((kp, hp, wp), jnp.uint8),
-                jax.ShapeDtypeStruct((kp, nblk, 8, 128), jnp.int32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((win, wp), jnp.uint8),
-                pltpu.SemaphoreType.DMA,
-            ],
-            interpret=interpret,
-        )(x)
+    x0 = x_ref[0]  # (hp, nwp) uint32 bitboards
 
     def body(state):
         x, it, _ = state
-        new, chg = one_iter(x)
-        return new, it + 1, jnp.any(chg != 0)
+        x1 = _subpass_bits(x, first=True, rotated=rotated)
+        x2 = _subpass_bits(x1, first=False, rotated=rotated)
+        return x2, it + 1, jnp.any(x2 != x)
 
     def cond(state):
         return state[2] & (state[1] < max_iter)
 
-    out, _, _ = jax.lax.while_loop(cond, body, (xp, jnp.int32(0), jnp.array(True)))
-    out = out[:, :h, 1 : 1 + w]
-    return out[0] if squeeze else out
+    x, _, _ = jax.lax.while_loop(cond, body, (x0, jnp.int32(0), jnp.array(True)))
+    out_ref[0] = x
+
+
+@partial(jax.jit, static_argnames=("max_iter", "rotated", "interpret"))
+def zhang_suen_packed_pallas(
+    binary: jax.Array,
+    max_iter: int = 120,
+    rotated: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """(k, H, W) 0/1 or 0/255 → 0/1 int32 skeletons; bit-exact vs
+    ops.thinning.zhang_suen (both ring variants, fuzz-pinned)."""
+    from .thinning import pack_bitboards, unpack_bitboards  # noqa: PLC0415
+
+    squeeze = binary.ndim == 2
+    if squeeze:
+        binary = binary[None]
+    w = binary.shape[-1]
+    x0 = pack_bitboards(binary)
+    k, h, nw = x0.shape
+    hp = -(-h // 8) * 8
+    nwp = -(-nw // 128) * 128
+    xp = jnp.pad(x0, ((0, 0), (0, hp - h), (0, nwp - nw)))
+
+    out = pl.pallas_call(
+        partial(_zs_packed_kernel, rotated, max_iter),
+        grid=(k,),
+        in_specs=[pl.BlockSpec((1, hp, nwp), lambda l: (l, 0, 0))],
+        out_specs=pl.BlockSpec((1, hp, nwp), lambda l: (l, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((k, hp, nwp), jnp.uint32),
+        interpret=interpret,
+    )(xp)
+    res = unpack_bitboards(out[:, :h, :nw], w)
+    return res[0] if squeeze else res

@@ -139,6 +139,26 @@ def test_thinning_matches_reference_goldens():
         assert (got08 == z[f"skel08_{t}"]).all(), f"stage08 variant, case {t}"
 
 
+def test_thinning_packed_matches_dense_fuzz():
+    """The production thinner runs bit-packed (32 px/lane, carry-save-adder
+    neighbor counts); pin it to the dense reference implementation on random
+    densities, shapes, batch dims and both ring orientations."""
+    from plotweave.ops.thinning import zhang_suen_dense
+
+    r = np.random.default_rng(23)
+    for _ in range(10):
+        h, w = int(r.integers(10, 180)), int(r.integers(10, 180))
+        x = (r.random((h, w)) < r.uniform(0.1, 0.8)).astype(np.uint8) * 255
+        for rot in (True, False):
+            a = np.asarray(zhang_suen_dense(x, rotated=rot))
+            b = np.asarray(zhang_suen(x, rotated=rot))
+            assert np.array_equal(a, b), (h, w, rot)
+    xb = (r.random((3, 70, 200)) < 0.5).astype(np.uint8) * 255
+    assert np.array_equal(
+        np.asarray(zhang_suen_dense(xb)), np.asarray(zhang_suen(xb))
+    )
+
+
 # ------------------------------------------------------------ lab & k-means
 
 

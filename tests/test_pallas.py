@@ -34,11 +34,8 @@ def test_pallas_thinning_batched():
     assert (ref == got).all()
 
 
-def test_pallas_v2_bit_identical_interpret():
-    import numpy as np
-
-    from plotweave.ops.pallas_kernels import zhang_suen_pallas_v2
-    from plotweave.ops.thinning import zhang_suen
+def test_pallas_v3_packed_bit_identical_interpret():
+    from plotweave.ops.pallas_kernels import zhang_suen_packed_pallas
 
     rng = np.random.default_rng(3)
     for _ in range(4):
@@ -47,6 +44,6 @@ def test_pallas_v2_bit_identical_interpret():
         w = int(rng.integers(5, 200))
         x = (rng.random((k, h, w)) < rng.uniform(0.2, 0.7)).astype(np.uint8) * 255
         for rotated in (True, False):
-            ref = np.asarray(zhang_suen(x, 120, rotated)).astype(np.uint8)
-            got = np.asarray(zhang_suen_pallas_v2(x, 120, rotated, tile=64, interpret=True))
+            ref = np.asarray(zhang_suen(x, 120, rotated))
+            got = np.asarray(zhang_suen_packed_pallas(x, 120, rotated, interpret=True))
             np.testing.assert_array_equal(ref, got)
