@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""BASELINE config-4 benchmark: batch of 64 mixed images, full pipeline.
+
+Measures sustained Mpx/s for `run_pipeline_batch` at several host worker
+counts to pick the default (VERDICT r1 item 9).  Images are bench-class
+(1024x768, 4 layers) with per-image color/shape variation so k-means,
+dedup and stream work differ across the batch.
+
+Usage: python tests/tools/bench_batch.py [--workers 4 8 12] [--n 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+COLORS = [(20, 20, 20), (90, 90, 200), (140, 180, 220), (230, 220, 210)]
+NAMES = ["layer_dark", "layer_mid", "layer_skin", "layer_light"]
+
+
+def make_images(base: Path, n: int):
+    import cv2
+
+    paths = []
+    for i in range(n):
+        rng = np.random.default_rng(1000 + i)
+        H, W = 768, 1024
+        img = np.zeros((H, W, 3), np.uint8)
+        img[:, :] = COLORS[-1]
+        for _ in range(60):
+            c = COLORS[int(rng.integers(0, 4))]
+            x, y = int(rng.integers(0, W)), int(rng.integers(0, H))
+            r = int(rng.integers(15, 90))
+            if rng.random() < 0.5:
+                cv2.circle(img, (x, y), r, c, -1)
+            else:
+                cv2.rectangle(img, (x, y), (x + r, y + r), c, -1)
+        p = base / f"img{i:03d}.png"
+        cv2.imwrite(str(p), img)
+        paths.append(p)
+    return paths
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workers", type=int, nargs="+", default=[4, 8, 12])
+    ap.add_argument("--n", type=int, default=64)
+    args = ap.parse_args()
+
+    from plotweave.config import load_config, PipelineConfig, save_config
+    from plotweave.pipeline import run_pipeline_batch
+
+    base = Path(tempfile.mkdtemp(prefix="pw_batch_"))
+    paths = make_images(base, args.n)
+    mpx = args.n * 1024 * 768 / 1e6
+
+    results = {}
+    for w in args.workers:
+        out = base / f"w{w}"
+        out.mkdir()
+        cfgs = []
+        for p in paths:
+            d = out / p.stem
+            d.mkdir()
+            cfg = PipelineConfig()
+            f = save_config(cfg, str(d / "config.json"), {
+                "input_image": str(p), "output_dir": str(d),
+                "color_names": NAMES, "colors": [list(c) for c in COLORS],
+                # bench-class canvas (matches bench.py's e2e config): the
+                # default A4@40steps/mm canvas is ~100 Mpx and preview
+                # rendering/PNG encode dominates either implementation
+                "target_width_mm": 210, "target_height_mm": 297,
+                "pixels_per_mm": 4, "pen_width_px": 12, "pen_radius_px": 6,
+                "edge_low_threshold": 22, "edge_high_threshold": 70,
+                "edge_kernel_size": 7,
+            })
+            cfgs.append(load_config(f))
+        t0 = time.perf_counter()
+        times = run_pipeline_batch(cfgs, 1, 13, workers=w)
+        wall = time.perf_counter() - t0
+        ok = sum(1 for t in times if t >= 0)
+        results[w] = wall
+        print(json.dumps({
+            "workers": w, "wall_s": round(wall, 1), "ok": ok,
+            "mpx_per_s": round(mpx / wall, 3),
+        }))
+        shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
