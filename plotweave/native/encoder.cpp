@@ -904,7 +904,9 @@ extern "C" double pw_cv_kmeans(const float* data, int64_t N, int dims, int K,
     uint64_t rng = rng_state;
     epsilon = epsilon > 0 ? epsilon : 0;
     epsilon *= epsilon;
+    // cv2: criteria.maxCount = std::min(std::max(criteria.maxCount, 2), 100)
     if (max_count < 2) max_count = 2;
+    if (max_count > 100) max_count = 100;
     if (attempts < 1) attempts = 1;
     if (K == 1) { attempts = 1; max_count = 2; }
 

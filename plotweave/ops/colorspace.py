@@ -27,8 +27,6 @@ def _srgb_gamma_inv(u: jax.Array) -> jax.Array:
     return jnp.where(u <= 0.04045, u / 12.92, ((u + 0.055) / 1.055) ** 2.4)
 
 
-def _srgb_gamma(u: jax.Array) -> jax.Array:
-    return jnp.where(u <= 0.0031308, u * 12.92, 1.055 * u ** (1.0 / 2.4) - 0.055)
 
 
 def _f(t: jax.Array) -> jax.Array:
@@ -36,9 +34,6 @@ def _f(t: jax.Array) -> jax.Array:
     return jnp.where(t > d**3, jnp.cbrt(t), t / (3 * d * d) + 4.0 / 29.0)
 
 
-def _f_inv(t: jax.Array) -> jax.Array:
-    d = 6.0 / 29.0
-    return jnp.where(t > d, t**3, 3 * d * d * (t - 4.0 / 29.0))
 
 
 @jax.jit
@@ -53,19 +48,3 @@ def bgr_to_lab_u8(img: jax.Array) -> jax.Array:
     a = 500.0 * (fx - fy)
     b = 200.0 * (fy - fz)
     return jnp.stack([L * 255.0 / 100.0, a + 128.0, b + 128.0], axis=-1)
-
-
-@jax.jit
-def lab_u8_to_bgr(lab: jax.Array) -> jax.Array:
-    """Inverse of :func:`bgr_to_lab_u8`; returns uint8 BGR."""
-    L = lab[..., 0] * 100.0 / 255.0
-    a = lab[..., 1] - 128.0
-    b = lab[..., 2] - 128.0
-    fy = (L + 16.0) / 116.0
-    fx = fy + a / 500.0
-    fz = fy - b / 200.0
-    xyz = jnp.stack([_f_inv(fx), _f_inv(fy), _f_inv(fz)], axis=-1) * _WHITE
-    lin = jnp.einsum("ij,...j->...i", jnp.linalg.inv(_M), xyz, precision=jax.lax.Precision.HIGHEST)
-    rgb = jnp.clip(_srgb_gamma(jnp.clip(lin, 0.0, None)), 0.0, 1.0)
-    bgr = rgb[..., ::-1]
-    return jnp.clip(jnp.rint(bgr * 255.0), 0, 255).astype(jnp.uint8)

@@ -183,7 +183,8 @@ def _cv_kmeans_py(
     N = data.shape[0]
     rng = CvRNG(state)
     epsilon = max(float(epsilon), 0.0) ** 2
-    max_count = max(int(max_count), 2)
+    # cv2 clamps criteria.maxCount = min(max(maxCount, 2), 100)
+    max_count = min(max(int(max_count), 2), 100)
     if K == 1:
         attempts = 1
         max_count = 2

@@ -14,6 +14,8 @@ border mode on the edge shards).
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,136 +29,6 @@ from ..ops.morphology import structuring_element
 from ..ops.thinning import _subpass
 
 AXIS = "space"
-
-
-def _with_halo(x: jax.Array, h: int, border: str) -> jax.Array:
-    """Prepend/append ``h`` rows from mesh neighbors; edge shards synthesize
-    the global border (zero / reflect-101 / edge-replicate)."""
-    n = jax.lax.axis_size(AXIS)
-    i = jax.lax.axis_index(AXIS)
-    down = [(j, j + 1) for j in range(n - 1)]  # my bottom rows → next shard's top halo
-    up = [(j, j - 1) for j in range(1, n)]
-    from_above = jax.lax.ppermute(x[-h:], AXIS, down)
-    from_below = jax.lax.ppermute(x[:h], AXIS, up)
-
-    if border == "zero":
-        top_fill = jnp.zeros_like(x[:h])
-        bot_fill = jnp.zeros_like(x[:h])
-    elif border == "reflect":  # reflect-101
-        top_fill = x[1 : h + 1][::-1]
-        bot_fill = x[-h - 1 : -1][::-1]
-    elif border == "edge":
-        top_fill = jnp.repeat(x[:1], h, axis=0)
-        bot_fill = jnp.repeat(x[-1:], h, axis=0)
-    else:
-        raise ValueError(border)
-
-    top = jnp.where(i == 0, top_fill, from_above)
-    bot = jnp.where(i == n - 1, bot_fill, from_below)
-    return jnp.concatenate([top, x, bot], axis=0)
-
-
-def _morph_halo(x: jax.Array, se: np.ndarray, is_max: bool) -> jax.Array:
-    """One erode/dilate with fresh 1-row halos (OpenCV border semantics:
-    the border never constrains — emulated by edge-replicate halos at the
-    global boundary, which is equivalent for min/max)."""
-    r = se.shape[0] // 2
-    xp = _with_halo(x, r, "edge")
-    h_out, w_out = x.shape  # halo rows are consumed, width is locally padded
-    pad_val = jnp.iinfo(x.dtype).min if is_max else jnp.iinfo(x.dtype).max
-    p = jnp.pad(xp, ((0, 0), (r, r)), constant_values=pad_val)
-    ys, xs = np.nonzero(se)
-    acc = None
-    for dy, dx in zip(ys.tolist(), xs.tolist()):
-        win = jax.lax.dynamic_slice(p, (dy, dx), (h_out, w_out))
-        acc = win if acc is None else (jnp.maximum(acc, win) if is_max else jnp.minimum(acc, win))
-    return acc
-
-
-def _blur_halo(x: jax.Array, ksize: int) -> jax.Array:
-    kq = jnp.asarray(gaussian_kernel_q8(ksize))
-    r = ksize // 2
-    xi = x.astype(jnp.int32)
-    h, w = xi.shape
-    p = jnp.pad(xi, ((0, 0), (r, r)), mode="reflect")
-    tmp = sum(kq[i] * jax.lax.dynamic_slice_in_dim(p, i, w, axis=1) for i in range(ksize))
-    tp = _with_halo(tmp, r, "reflect")
-    acc = sum(kq[i] * jax.lax.dynamic_slice_in_dim(tp, i, h, axis=0) for i in range(ksize))
-    return jnp.clip((acc + (1 << 15)) >> 16, 0, 255).astype(jnp.uint8)
-
-
-def _canny_halo(img: jax.Array, low: int, high: int, reduce_axes=(AXIS,)) -> jax.Array:
-    """Canny with distributed hysteresis: Sobel+NMS on a 2-row halo, then a
-    strong→weak growth fixpoint exchanging 1 row per sweep."""
-    if low > high:
-        low, high = high, low
-    x2 = _with_halo(img, 2, "edge")  # sobel(1) + nms(1)
-    gx, gy = _sobel_pair(x2)
-    mag = jnp.abs(gx) + jnp.abs(gy)
-    # Single-device NMS reads mag as 0 beyond the image border; the edge
-    # shards' synthesized halo rows lie outside the true image, so zero them.
-    n = jax.lax.axis_size(AXIS)
-    i = jax.lax.axis_index(AXIS)
-    rows = jnp.arange(mag.shape[0])[:, None]
-    outside = ((i == 0) & (rows < 2)) | ((i == n - 1) & (rows >= mag.shape[0] - 2))
-    mag = jnp.where(outside, 0, mag)
-    ax = jnp.abs(gx)
-    ay = jnp.abs(gy) << _SHIFT
-    tg22x = ax * _TG22
-    tg67x = tg22x + (ax << (_SHIFT + 1))
-    horiz = ay < tg22x
-    vert = ay > tg67x
-    sign_neg = (gx ^ gy) < 0
-    keep_h = (mag > _nbr(mag, 0, -1)) & (mag >= _nbr(mag, 0, 1))
-    keep_v = (mag > _nbr(mag, -1, 0)) & (mag >= _nbr(mag, 1, 0))
-    keep_d = jnp.where(
-        sign_neg,
-        (mag > _nbr(mag, -1, 1)) & (mag > _nbr(mag, 1, -1)),
-        (mag > _nbr(mag, -1, -1)) & (mag > _nbr(mag, 1, 1)),
-    )
-    keep = jnp.where(horiz, keep_h, jnp.where(vert, keep_v, keep_d))
-
-    # NMS used mag-neighbor reads: rows [1:-1] of the halo'd frame are valid;
-    # slice back to the local region (drop the 2-row halo).
-    cand = ((mag > low) & keep)[2:-2]
-    strong = cand & (mag[2:-2] > high)
-
-    def sweep(state):
-        edges, _ = state
-        ep = _with_halo(edges, 1, "zero")
-        nbr = ep
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy or dx:
-                    nbr = nbr | _nbr(ep, dy, dx, fill=False)
-        new = cand & nbr[1:-1]
-        changed = jax.lax.psum(jnp.any(new != edges).astype(jnp.int32), reduce_axes) > 0
-        return new, changed
-
-    edges, _ = jax.lax.while_loop(lambda s: s[1], sweep, (strong, jnp.array(True)))
-    return jnp.where(edges, jnp.uint8(255), jnp.uint8(0))
-
-
-def _thin_halo(edges: jax.Array, max_iter: int = 120, reduce_axes=(AXIS,)) -> jax.Array:
-    """Zhang–Suen with a 1-row halo exchange before each subpass and a
-    psum'd convergence flag (stage-04 rotated ring)."""
-    x0 = (edges > 0).astype(jnp.int32)
-
-    def sub(x, first):
-        xp = _with_halo(x, 1, "zero")
-        return _subpass(xp, first=first, rotated=True)[1:-1]
-
-    def body(state):
-        x, it, _ = state
-        x1 = sub(x, True)
-        x2 = sub(x1, False)
-        changed = jax.lax.psum(jnp.any(x2 != x).astype(jnp.int32), reduce_axes) > 0
-        return x2, it + 1, changed
-
-    x, _, _ = jax.lax.while_loop(
-        lambda s: s[2] & (s[1] < max_iter), body, (x0, jnp.int32(0), jnp.array(True))
-    )
-    return x
 
 
 def make_local_frontend(k: int, edge_kernel: int, blur_kernel: int, low: int, high: int, reduce_axes=(AXIS,)):
@@ -176,16 +48,16 @@ def make_local_frontend(k: int, edge_kernel: int, blur_kernel: int, low: int, hi
         def per_layer(idx):
             m = (labels == idx).astype(jnp.uint8) * 255
             rect = structuring_element("rect", 3)
-            m = _morph_halo(m, rect, False)
-            m = _morph_halo(m, rect, True)  # open
-            m = _morph_halo(m, rect, True)
-            m = _morph_halo(m, rect, False)  # close
-            m = _morph_halo(m, se, False)
-            m = _morph_halo(m, se, True)  # edge open
-            m = _morph_halo(m, se, True)
-            m = _morph_halo(m, se, False)  # edge close
-            e = _canny_halo(_blur_halo(m, blur_kernel), low, high, reduce_axes)
-            s = _thin_halo(e, reduce_axes=reduce_axes)
+            m = _morph_halo_b(m, rect, False)
+            m = _morph_halo_b(m, rect, True)  # open
+            m = _morph_halo_b(m, rect, True)
+            m = _morph_halo_b(m, rect, False)  # close
+            m = _morph_halo_b(m, se, False)
+            m = _morph_halo_b(m, se, True)  # edge open
+            m = _morph_halo_b(m, se, True)
+            m = _morph_halo_b(m, se, False)  # edge close
+            e = _canny_halo_b(_blur_halo_b(m, blur_kernel), low, high, reduce_axes)
+            s = _thin_halo_b(e, reduce_axes=reduce_axes)
             return e, s
 
         return jax.vmap(per_layer)(jnp.arange(k))
@@ -226,7 +98,10 @@ def spatial_frontend(
 
 
 def _with_halo_b(x: jax.Array, h: int, border: str) -> jax.Array:
-    """Halo exchange on axis -2 of (..., rows, W); see :func:`_with_halo`."""
+    """Halo exchange on axis -2 of (..., rows, W): prepend/append ``h`` rows
+    from mesh neighbors; edge shards synthesize the global border (zero /
+    reflect-101 / edge-replicate).  Works on 2-D single layers and (k, rows,
+    W) batches alike (leading dims ride along)."""
     n = jax.lax.axis_size(AXIS)
     i = jax.lax.axis_index(AXIS)
     down = [(j, j + 1) for j in range(n - 1)]
@@ -358,11 +233,18 @@ def _thin_halo_b(edges: jax.Array, max_iter: int = 120, reduce_axes=(AXIS,)) -> 
     return x
 
 
+# The halo helpers exchange/synthesize at most 3 rows (blur k=7) and the
+# reflect fill reads rows [1 : h+1], so each shard must hold a safe margin of
+# rows — below this, halos would clip and results would silently diverge.
+MIN_ROWS_PER_SHARD = 8
+
+
 def fit_shard_rows(h: int, requested: int, n_devices: int) -> int:
     """Largest shard count ≤ min(requested, n_devices) that divides ``h``
-    evenly (shard_map needs equal row slabs; remainder handling is a
-    documented non-goal — see ROADMAP)."""
-    cap = max(1, min(int(requested), int(n_devices)))
+    evenly AND leaves ≥ MIN_ROWS_PER_SHARD rows per shard (shard_map needs
+    equal row slabs and the halo stencils need working margin; remainder
+    handling is a documented non-goal — see ROADMAP)."""
+    cap = max(1, min(int(requested), int(n_devices), int(h) // MIN_ROWS_PER_SHARD or 1))
     for n in range(cap, 0, -1):
         if h % n == 0:
             return n
@@ -393,6 +275,15 @@ def sharded_clean_chain(
     (01_resize.py:15-20): an image too large for one chip's HBM streams
     through N chips' HBM instead of being downscaled.
     """
+    run = _build_sharded_chain(mesh, w, open_iters, close_iters, mk, oi, ci, bk, lo, hi)
+    return run(packed_raw)
+
+
+@_lru_cache(maxsize=32)
+def _build_sharded_chain(mesh, w, open_iters, close_iters, mk, oi, ci, bk, lo, hi):
+    """Cached program builder: without this every call would create a fresh
+    shard_map closure + jit identity and re-trace the whole fused chain
+    (minutes on the remote compiler) — batch mode calls once per image."""
     from ..ops.bitpack import bitpack_rows, bitunpack_rows  # noqa: PLC0415
 
     def local(packed):
@@ -429,7 +320,7 @@ def sharded_clean_chain(
         blob = jnp.concatenate([pm.reshape(-1), pe.reshape(-1), ps.reshape(-1)])
         return blob, masks
 
-    return run(packed_raw)
+    return run
 
 
 def grid_frontend(

@@ -227,10 +227,21 @@ def _main_batch(args, base: PipelineConfig, overrides: dict) -> None:
     print(f"Batch: {len(images)} images → {args.output_dir} ({args.workers or min(4, len(images))} workers)")
     if args.end_step > 13:
         print("[batch] note: stage 14 (interactive stream preview) is skipped in batch mode")
-    if args.profile:
-        print("[batch] note: --profile is not supported in batch mode (use a single-image run)")
     t0 = time.perf_counter()
-    times = run_pipeline_batch(cfgs, args.start_step, min(args.end_step, 13), workers=args.workers)
+    if args.profile:
+        # one trace spanning the whole batch: worker threads show up as
+        # separate host tracks, device lanes show the overlap quality
+        import jax  # noqa: PLC0415
+
+        with jax.profiler.trace(args.profile):
+            times = run_pipeline_batch(
+                cfgs, args.start_step, min(args.end_step, 13), workers=args.workers
+            )
+        print(f"[profile] batch trace written to {args.profile}")
+    else:
+        times = run_pipeline_batch(
+            cfgs, args.start_step, min(args.end_step, 13), workers=args.workers
+        )
     wall = time.perf_counter() - t0
     ok = [t for t in times if t >= 0]
     failed = [img for img, t in zip(images, times) if t < 0]

@@ -20,7 +20,7 @@ with jax-PRNG sampling — deterministic per seed, not cv2-compatible.
 from __future__ import annotations
 
 import os
-from functools import partial
+from functools import lru_cache, partial
 from typing import List
 
 import jax
@@ -163,6 +163,15 @@ def _clean_masks_chain(
     return blob, masks
 
 
+@lru_cache(maxsize=8)
+def _space_mesh(n: int):
+    """One Mesh per shard count: a fresh Mesh object per image would miss
+    the cached shard_map program (hash keyed on the mesh)."""
+    from ..parallel import make_mesh  # noqa: PLC0415
+
+    return make_mesh((n,), ("space",))
+
+
 def _resolve_shard_n(cfg: PipelineConfig, h: int, w: int) -> int:
     """Row-shard count for the fused raster chain: 0 = unsharded.
 
@@ -245,6 +254,17 @@ def run(cfg: PipelineConfig) -> None:
 
     fuse = {3, 4} <= chain_hint() and k == len(names)
 
+    shard_requested = (
+        int(getattr(cfg, "shard_rows", 0) or 0) > 0
+        or float(getattr(cfg, "shard_auto_mpx", 0) or 0) > 0
+    )
+    if shard_requested and (cfg.kmeans_init.lower() == "device" or not fuse):
+        print(
+            "[shard] note: row sharding applies to the fused host-exact 02-04 "
+            f"chain; this run (kmeans_init={cfg.kmeans_init!r}, fused={fuse}) "
+            "uses the unsharded device programs"
+        )
+
     w8 = (w + 7) // 8
 
     chain_packed = None
@@ -292,10 +312,9 @@ def run(cfg: PipelineConfig) -> None:
         if fuse:
             shard_n = _resolve_shard_n(cfg, h, w)
             if shard_n >= 1:
-                from ..parallel import make_mesh  # noqa: PLC0415
                 from ..parallel.spatial import sharded_clean_chain  # noqa: PLC0415
 
-                mesh = make_mesh((shard_n,), ("space",))
+                mesh = _space_mesh(shard_n)
                 print(f"[shard] raster chain row-sharded over {shard_n} device(s)")
                 blob_dev, masks_dev = sharded_clean_chain(
                     mesh,

@@ -134,3 +134,11 @@ def test_native_available():
         pytest.skip("native disabled")
     data = np.zeros((4, 3), np.float32)
     assert cv_kmeans_native(data, 2, 40, 0.5, 1, 0xFFFFFFFF) is not None
+
+
+def test_maxcount_above_cv2_clamp():
+    """cv2 clamps criteria.maxCount to min(max(mc,2),100); configs with
+    kmeans_iters > 100 must keep byte parity (found by round-2 review)."""
+    rng = np.random.default_rng(99)
+    data = rng.uniform(0, 255, (20000, 3)).astype(np.float32)
+    _check(data, 12, max_count=300, eps=0.0, attempts=1)

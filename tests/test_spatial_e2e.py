@@ -56,6 +56,10 @@ def test_fit_shard_rows():
     assert fit_shard_rows(997, 8, 8) == 1  # prime rows → degenerate mesh
     assert fit_shard_rows(256, 8, 1) == 1  # one real chip
     assert fit_shard_rows(256, 0, 8) == 1
+    # halo stencils need working margin: never shard below 8 rows/shard
+    assert fit_shard_rows(24, 8, 8) == 3
+    assert fit_shard_rows(12, 8, 8) == 1
+    assert fit_shard_rows(4, 8, 8) == 1
 
 
 def test_sharded_pipeline_byte_identical(tmp_path):
