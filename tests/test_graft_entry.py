@@ -27,7 +27,7 @@ def _run(code: str, extra_env=None) -> subprocess.CompletedProcess:
         env.update(extra_env)
     return subprocess.run(
         [sys.executable, "-c", code], cwd=REPO, env=env,
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=1800,
     )
 
 
