@@ -145,9 +145,6 @@ class PipelineConfig:
     stop_after_edges: bool = False
 
     # ---- plotweave extensions (not in the reference schema) ----
-    # "exact"  — bit-compatible host path (oracle-grade output)
-    # "tpu"    — JAX/Pallas device path (throughput-grade, near-identical)
-    compute_backend: str = "exact"
     # "host-exact" — numpy-RNG k-means++ seeding (reference-deterministic:
     #   the sampled pixel set and init draws replicate 02:41); requires one
     #   sample transfer per image.

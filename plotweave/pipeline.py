@@ -174,7 +174,6 @@ def parse_args(argv=None):
     ap.add_argument("--target-width-mm", type=int, dest="target_width_mm")
     ap.add_argument("--target-height-mm", type=int, dest="target_height_mm")
     ap.add_argument("--colors", dest="colors_json", help="BGR swatches as JSON, e.g. [[0,0,0],[255,0,0]]")
-    ap.add_argument("--backend", choices=["exact", "tpu"], default=None, help="compute backend override")
     ap.add_argument(
         "--shard-rows",
         type=int,
@@ -269,7 +268,6 @@ def main(argv=None) -> None:
         "pixels_per_mm": args.pixels_per_mm,
         "target_width_mm": args.target_width_mm,
         "target_height_mm": args.target_height_mm,
-        "compute_backend": args.backend,
         "shard_rows": args.shard_rows,
     }
     if args.colors_json:
