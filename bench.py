@@ -40,7 +40,7 @@ def synth_image(h=1500, w=2000, seed=0):
     return img
 
 
-def bench_e2e() -> None:
+def bench_e2e(device_init: bool = False) -> None:
     """Primary benchmark: full image→stream pipeline Mpx/s.
 
     Baseline measured on this host: the reference pipeline (steps 1–13,
@@ -87,6 +87,8 @@ def bench_e2e() -> None:
             "target_width_mm": 210, "target_height_mm": 297, "pixels_per_mm": 4,
             "pen_width_px": 12, "pen_radius_px": 6,
         }
+        if device_init:
+            cfg_d["kmeans_init"] = "device"
         import os
 
         os.makedirs(out, exist_ok=True)
@@ -119,7 +121,8 @@ def main() -> None:
     # Default = the BASELINE.json metric: end-to-end image→stream Mpx/s.
     # --frontend measures the fused stage-01–04 device program in isolation.
     if "--frontend" not in sys.argv:
-        bench_e2e()
+        # --device-init: the opt-in single-dispatch stage-02 production mode
+        bench_e2e(device_init="--device-init" in sys.argv)
         return
 
     import jax

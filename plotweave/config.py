@@ -163,6 +163,11 @@ class PipelineConfig:
     # when resized H×W exceeds this many megapixels (the TPU answer to the
     # reference's resolution cap at 01_resize.py:15-20).
     shard_auto_mpx: float = 0.0
+    # Device placement for the stage 01-04 raster programs:
+    # "auto" = default backend (TPU when attached); "cpu" = local CPU
+    # backend — bit-exact, compiles locally in ~1 s vs minutes on the
+    # remote TPU compiler: the cold-start / tunnel-down escape hatch.
+    raster_device: str = "auto"
 
     # ------------------------------------------------------------------
     def ensure_output_dirs(self) -> None:

@@ -175,6 +175,14 @@ def parse_args(argv=None):
     ap.add_argument("--target-height-mm", type=int, dest="target_height_mm")
     ap.add_argument("--colors", dest="colors_json", help="BGR swatches as JSON, e.g. [[0,0,0],[255,0,0]]")
     ap.add_argument(
+        "--raster-device",
+        choices=["auto", "cpu"],
+        dest="raster_device",
+        help="placement for the stage 01-04 raster programs: auto = default "
+        "backend (TPU); cpu = local CPU backend (bit-exact, ~1 s local "
+        "compiles vs minutes remote — the cold-start escape hatch)",
+    )
+    ap.add_argument(
         "--shard-rows",
         type=int,
         dest="shard_rows",
@@ -269,6 +277,7 @@ def main(argv=None) -> None:
         "target_width_mm": args.target_width_mm,
         "target_height_mm": args.target_height_mm,
         "shard_rows": args.shard_rows,
+        "raster_device": args.raster_device,
     }
     if args.colors_json:
         try:

@@ -6,7 +6,7 @@ from __future__ import annotations
 import os
 
 from ..config import PipelineConfig
-from ..utils import read_image, register_device_artifact, write_image
+from ..utils import raster_device_ctx, read_image, register_device_artifact, write_image
 
 
 def run(cfg: PipelineConfig) -> None:
@@ -34,7 +34,8 @@ def run(cfg: PipelineConfig) -> None:
         out = img
         print(f"No resize required: {w}x{h}")
     # async upload overlaps the PNG encode below
-    out_dev = jax.device_put(out)
+    with raster_device_ctx(cfg):
+        out_dev = jax.device_put(out)
     dst = os.path.join(cfg.output_dir, "resized.png")
     write_image(dst, out)
     register_device_artifact(dst, out_dev)

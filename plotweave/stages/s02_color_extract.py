@@ -35,6 +35,7 @@ from ..ops.cvkmeans import assign_labels, cv_kmeans
 from ..ops.morphology import _morph
 from ..utils import (
     fetch_device_artifact,
+    raster_device_ctx,
     read_image,
     register_derived_artifact,
     register_device_artifact,
@@ -186,6 +187,9 @@ def _resolve_shard_n(cfg: PipelineConfig, h: int, w: int) -> int:
     auto = float(getattr(cfg, "shard_auto_mpx", 0) or 0)
     if req <= 0 and auto <= 0:
         return 0
+    if str(getattr(cfg, "raster_device", "auto")).lower() == "cpu":
+        print("[shard] note: raster_device=cpu — row sharding disabled (one local CPU device)")
+        return 0
     ndev = len(jax.devices())
     if req > 0:
         return fit_shard_rows(h, req, ndev)
@@ -270,13 +274,14 @@ def run(cfg: PipelineConfig) -> None:
     chain_packed = None
     if cfg.kmeans_init.lower() == "device":
         # fully-fused single dispatch; jax-PRNG sampling/seeding (CONFIG.md)
-        blob_dev, masks_dev = _device_init_stage(
-            img,
-            k, int(cfg.kmeans_iters), attempts, limit, seed, fuse,
-            *(edge_params(cfg) if fuse else (1, 0, 0, 3, 0, 0)),
-            open_iters=int(cfg.extract_open_iters),
-            close_iters=int(cfg.extract_close_iters),
-        )
+        with raster_device_ctx(cfg):
+            blob_dev, masks_dev = _device_init_stage(
+                img,
+                k, int(cfg.kmeans_iters), attempts, limit, seed, fuse,
+                *(edge_params(cfg) if fuse else (1, 0, 0, 3, 0, 0)),
+                open_iters=int(cfg.extract_open_iters),
+                close_iters=int(cfg.extract_close_iters),
+            )
         blob = np.asarray(blob_dev)
         n_stats = k * 16
         stats = np.ascontiguousarray(blob[:n_stats]).view(np.float32).reshape(k, 4)
@@ -306,42 +311,45 @@ def run(cfg: PipelineConfig) -> None:
         counts0 = np.bincount(labels.ravel(), minlength=k).astype(np.int64)
         # raw one-hot masks cross the tunnel bit-packed (8 px/byte); the
         # 3×3 clean-up and any fused 03/04 work stay on device
-        packed_raw = jnp.asarray(
-            np.stack([np.packbits(labels == kk, axis=-1) for kk in range(k)])
-        )
-        if fuse:
-            shard_n = _resolve_shard_n(cfg, h, w)
-            if shard_n >= 1:
-                from ..parallel.spatial import sharded_clean_chain  # noqa: PLC0415
+        with raster_device_ctx(cfg):
+            packed_raw = jnp.asarray(
+                np.stack([np.packbits(labels == kk, axis=-1) for kk in range(k)])
+            )
+            if fuse:
+                shard_n = _resolve_shard_n(cfg, h, w)
+                if shard_n >= 1:
+                    from ..parallel.spatial import sharded_clean_chain  # noqa: PLC0415
 
-                mesh = _space_mesh(shard_n)
-                print(f"[shard] raster chain row-sharded over {shard_n} device(s)")
-                blob_dev, masks_dev = sharded_clean_chain(
-                    mesh,
-                    packed_raw,
-                    w,
-                    int(cfg.extract_open_iters),
-                    int(cfg.extract_close_iters),
-                    *edge_params(cfg),
-                )
+                    mesh = _space_mesh(shard_n)
+                    print(f"[shard] raster chain row-sharded over {shard_n} device(s)")
+                    blob_dev, masks_dev = sharded_clean_chain(
+                        mesh,
+                        packed_raw,
+                        w,
+                        int(cfg.extract_open_iters),
+                        int(cfg.extract_close_iters),
+                        *edge_params(cfg),
+                    )
+                else:
+                    blob_dev, masks_dev = _clean_masks_chain(
+                        packed_raw,
+                        w,
+                        int(cfg.extract_open_iters),
+                        int(cfg.extract_close_iters),
+                        *edge_params(cfg),
+                    )
             else:
-                blob_dev, masks_dev = _clean_masks_chain(
+                packed_dev, masks_dev = _clean_masks(
                     packed_raw,
                     w,
                     int(cfg.extract_open_iters),
                     int(cfg.extract_close_iters),
-                    *edge_params(cfg),
                 )
+        if fuse:
             blob = np.asarray(blob_dev)
             packed = blob[: k * h * w8].reshape(k, h, w8)
             chain_packed = blob[k * h * w8 :].reshape(2 * k, h, w8)
         else:
-            packed_dev, masks_dev = _clean_masks(
-                packed_raw,
-                w,
-                int(cfg.extract_open_iters),
-                int(cfg.extract_close_iters),
-            )
             packed = np.asarray(packed_dev)
 
     # relabel dark→light by the L channel (reference 02:120-127)

@@ -70,9 +70,11 @@ def run(cfg: PipelineConfig) -> None:
                     raise FileNotFoundError(f"Mask not found: {p}")
                 m = read_image(p, gray=True)
             masks.append(m)
-        batch = jnp.stack(masks, axis=0) if all_dev else np.stack([np.asarray(m) for m in masks], axis=0)
+        from ..utils import raster_device_ctx  # noqa: PLC0415
 
-        packed_dev, edges_dev = _edges_batched(batch, *edge_params(cfg))
+        with raster_device_ctx(cfg):
+            batch = jnp.stack(masks, axis=0) if all_dev else np.stack([np.asarray(m) for m in masks], axis=0)
+            packed_dev, edges_dev = _edges_batched(batch, *edge_params(cfg))
         edges = unpack_rows(packed_dev, batch.shape[-1]) * np.uint8(255)
         packed_skels = None
 

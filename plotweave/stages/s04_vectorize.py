@@ -54,11 +54,14 @@ def run(cfg: PipelineConfig) -> None:
                 e = read_image(p, gray=True)
             edge_imgs.append(e)
 
-        if all_dev:
-            batch = jnp.stack(edge_imgs, axis=0)
-        else:
-            batch = np.stack([np.asarray(e) for e in edge_imgs], axis=0)
-        skeletons = unpack_rows(_thin_batched(batch), batch.shape[-1])
+        from ..utils import raster_device_ctx  # noqa: PLC0415
+
+        with raster_device_ctx(cfg):
+            if all_dev:
+                batch = jnp.stack(edge_imgs, axis=0)
+            else:
+                batch = np.stack([np.asarray(e) for e in edge_imgs], axis=0)
+            skeletons = unpack_rows(_thin_batched(batch), batch.shape[-1])
         print(f"[vectorize] thinning (batched, {len(names)} layers): {time.perf_counter() - t0:.2f}s")
 
     min_len = int(cfg.thinning_min_segment_len)
