@@ -106,3 +106,19 @@ def test_sharded_chain_bit_identical(n_shards):
     blob1, masks1 = sharded_clean_chain(mesh, packed, *args)
     assert np.array_equal(np.asarray(blob0), np.asarray(blob1))
     assert np.array_equal(np.asarray(masks0), np.asarray(masks1))
+
+
+def test_resolve_shard_n_policies():
+    from plotweave.config import PipelineConfig
+    from plotweave.stages.s02_color_extract import _resolve_shard_n
+
+    cfg = PipelineConfig()
+    assert _resolve_shard_n(cfg, 256, 320) == 0  # off by default
+    cfg.shard_rows = 8
+    assert _resolve_shard_n(cfg, 256, 320) == 8  # explicit, fits
+    cfg.shard_rows = 0
+    cfg.shard_auto_mpx = 1.0
+    assert _resolve_shard_n(cfg, 256, 320) == 0  # 0.08 Mpx below budget
+    assert _resolve_shard_n(cfg, 2000, 2000) == 8  # 4 Mpx above budget
+    cfg.raster_device = "cpu"
+    assert _resolve_shard_n(cfg, 2000, 2000) == 0  # cpu hatch disables
