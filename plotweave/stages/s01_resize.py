@@ -6,7 +6,7 @@ from __future__ import annotations
 import os
 
 from ..config import PipelineConfig
-from ..utils import raster_device_ctx, read_image, register_device_artifact, write_image
+from ..utils import read_image, register_device_artifact, write_image
 
 
 def run(cfg: PipelineConfig) -> None:
@@ -33,10 +33,16 @@ def run(cfg: PipelineConfig) -> None:
     else:
         out = img
         print(f"No resize required: {w}x{h}")
-    # async upload overlaps the PNG encode below
-    with raster_device_ctx(cfg):
-        out_dev = jax.device_put(out)
     dst = os.path.join(cfg.output_dir, "resized.png")
-    write_image(dst, out)
-    register_device_artifact(dst, out_dev)
+    # only the kmeans_init="device" mode consumes the image device-resident
+    # (s02 fetches it); the default host-exact mode reads host pixels and
+    # uploads bit-packed masks itself — skip the upload then (the tunnel is
+    # the scarce resource).  The float k-means runs on the default backend
+    # regardless of raster_device (see utils/devices.py), so upload there.
+    if str(getattr(cfg, "kmeans_init", "host-exact")).lower() == "device":
+        out_dev = jax.device_put(out)  # async; overlaps the PNG encode below
+        write_image(dst, out)
+        register_device_artifact(dst, out_dev)
+    else:
+        write_image(dst, out)
     print(f"Saved: {dst}")

@@ -165,12 +165,13 @@ def _clean_masks_chain(
 
 
 @lru_cache(maxsize=8)
-def _space_mesh(n: int):
-    """One Mesh per shard count: a fresh Mesh object per image would miss
-    the cached shard_map program (hash keyed on the mesh)."""
+def _space_mesh(n: int, platform: str = ""):
+    """One Mesh per (shard count, platform): a fresh Mesh object per image
+    would miss the cached shard_map program (hash keyed on the mesh)."""
     from ..parallel import make_mesh  # noqa: PLC0415
 
-    return make_mesh((n,), ("space",))
+    devs = jax.devices(platform) if platform else None
+    return make_mesh((n,), ("space",), devices=devs)
 
 
 def _resolve_shard_n(cfg: PipelineConfig, h: int, w: int) -> int:
@@ -188,9 +189,15 @@ def _resolve_shard_n(cfg: PipelineConfig, h: int, w: int) -> int:
     if req <= 0 and auto <= 0:
         return 0
     if str(getattr(cfg, "raster_device", "auto")).lower() == "cpu":
-        print("[shard] note: raster_device=cpu — row sharding disabled (one local CPU device)")
-        return 0
-    ndev = len(jax.devices())
+        # shard over the LOCAL CPU pool (can be >1 device under
+        # jax_num_cpu_devices / --xla_force_host_platform_device_count)
+        try:
+            ndev = len(jax.devices("cpu"))
+        except RuntimeError:
+            print("[shard] note: raster_device=cpu but no CPU backend — sharding disabled")
+            return 0
+    else:
+        ndev = len(jax.devices())
     if req > 0:
         return fit_shard_rows(h, req, ndev)
     if h * w / 1e6 > auto:
@@ -273,15 +280,23 @@ def run(cfg: PipelineConfig) -> None:
 
     chain_packed = None
     if cfg.kmeans_init.lower() == "device":
-        # fully-fused single dispatch; jax-PRNG sampling/seeding (CONFIG.md)
-        with raster_device_ctx(cfg):
-            blob_dev, masks_dev = _device_init_stage(
-                img,
-                k, int(cfg.kmeans_iters), attempts, limit, seed, fuse,
-                *(edge_params(cfg) if fuse else (1, 0, 0, 3, 0, 0)),
-                open_iters=int(cfg.extract_open_iters),
-                close_iters=int(cfg.extract_close_iters),
+        # fully-fused single dispatch; jax-PRNG sampling/seeding (CONFIG.md).
+        # raster_device=cpu is deliberately NOT applied here: the float
+        # k-means reductions are not bit-identical across backends, so
+        # repinning them would silently change masks (see utils/devices.py)
+        if str(getattr(cfg, "raster_device", "auto")).lower() == "cpu":
+            print(
+                "[raster-device] note: kmeans_init='device' runs on the "
+                "default backend (float k-means is backend-sensitive); "
+                "use kmeans_init='host-exact' with raster_device='cpu'"
             )
+        blob_dev, masks_dev = _device_init_stage(
+            img,
+            k, int(cfg.kmeans_iters), attempts, limit, seed, fuse,
+            *(edge_params(cfg) if fuse else (1, 0, 0, 3, 0, 0)),
+            open_iters=int(cfg.extract_open_iters),
+            close_iters=int(cfg.extract_close_iters),
+        )
         blob = np.asarray(blob_dev)
         n_stats = k * 16
         stats = np.ascontiguousarray(blob[:n_stats]).view(np.float32).reshape(k, 4)
@@ -320,7 +335,10 @@ def run(cfg: PipelineConfig) -> None:
                 if shard_n >= 1:
                     from ..parallel.spatial import sharded_clean_chain  # noqa: PLC0415
 
-                    mesh = _space_mesh(shard_n)
+                    cpu_mode = (
+                        str(getattr(cfg, "raster_device", "auto")).lower() == "cpu"
+                    )
+                    mesh = _space_mesh(shard_n, "cpu" if cpu_mode else "")
                     print(f"[shard] raster chain row-sharded over {shard_n} device(s)")
                     blob_dev, masks_dev = sharded_clean_chain(
                         mesh,

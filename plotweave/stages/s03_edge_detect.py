@@ -22,6 +22,7 @@ from ..ops.morphology import _morph
 from ..utils import (
     fetch_derived_artifact,
     fetch_device_artifact,
+    raster_device_ctx,
     read_image,
     register_derived_artifact,
     register_device_artifact,
@@ -70,8 +71,6 @@ def run(cfg: PipelineConfig) -> None:
                     raise FileNotFoundError(f"Mask not found: {p}")
                 m = read_image(p, gray=True)
             masks.append(m)
-        from ..utils import raster_device_ctx  # noqa: PLC0415
-
         with raster_device_ctx(cfg):
             batch = jnp.stack(masks, axis=0) if all_dev else np.stack([np.asarray(m) for m in masks], axis=0)
             packed_dev, edges_dev = _edges_batched(batch, *edge_params(cfg))

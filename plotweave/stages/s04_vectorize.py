@@ -19,7 +19,8 @@ import numpy as np
 from ..config import PipelineConfig
 from ..ops.bitpack import bitpack_rows, unpack_rows
 from ..ops.thinning import zhang_suen
-from ..utils import fetch_derived_artifact, fetch_device_artifact, read_image, save_pickle, thread_map
+from ..utils import (fetch_derived_artifact, fetch_device_artifact,
+                     raster_device_ctx, read_image, save_pickle, thread_map)
 from ..vector.trace import trace_skeleton_fast
 from .common import chain_key, layer_dir
 
@@ -53,8 +54,6 @@ def run(cfg: PipelineConfig) -> None:
                     raise FileNotFoundError(f"Edges not found: {p}")
                 e = read_image(p, gray=True)
             edge_imgs.append(e)
-
-        from ..utils import raster_device_ctx  # noqa: PLC0415
 
         with raster_device_ctx(cfg):
             if all_dev:

@@ -121,4 +121,5 @@ def test_resolve_shard_n_policies():
     assert _resolve_shard_n(cfg, 256, 320) == 0  # 0.08 Mpx below budget
     assert _resolve_shard_n(cfg, 2000, 2000) == 8  # 4 Mpx above budget
     cfg.raster_device = "cpu"
-    assert _resolve_shard_n(cfg, 2000, 2000) == 0  # cpu hatch disables
+    # cpu hatch shards over the LOCAL CPU pool (8 virtual devices in tests)
+    assert _resolve_shard_n(cfg, 2000, 2000) == 8
