@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from .canny import canny
 from .colorspace import bgr_to_lab_u8
 from .filters import gaussian_blur_u8
-from .morphology import _morph
 from .thinning import zhang_suen
 
 
@@ -61,12 +60,22 @@ def raster_frontend(
     labels = jnp.argmin(d2, axis=1).reshape(image.shape[:-1])  # (...,H,W)
 
     # all ops are natively batched on (..., k, H, W): static-slice stencils
-    # and joint fixpoint loops compile far faster than vmap-of-while on TPU
-    masks = (labels[..., None, :, :] == jnp.arange(k)[:, None, None]).astype(jnp.uint8) * 255
-    masks = _morph(masks, "rect", 3, extract_iters, "ed")
-    masks = _morph(masks, "rect", 3, extract_iters, "de")
-    masks = _morph(masks, "ellipse", edge_kernel, edge_iters, "ed")
-    masks = _morph(masks, "ellipse", edge_kernel, edge_iters, "de")
+    # and joint fixpoint loops compile far faster than vmap-of-while on TPU.
+    # The binary morphology runs bit-packed (32 px/uint32 lane, one pack →
+    # four programs → one unpack) — 2.9× the dense min/max chain.
+    from .morphology import _valid_bits, morph_bits  # noqa: PLC0415
+    from .thinning import pack_bitboards, unpack_bitboards  # noqa: PLC0415
+
+    w = image.shape[-2]  # (..., H, W, 3) → W
+    masks_b = pack_bitboards(
+        labels[..., None, :, :] == jnp.arange(k)[:, None, None]
+    )
+    valid = jnp.asarray(_valid_bits(w))
+    masks_b = morph_bits(masks_b, valid, "rect", 3, extract_iters, "ed")
+    masks_b = morph_bits(masks_b, valid, "rect", 3, extract_iters, "de")
+    masks_b = morph_bits(masks_b, valid, "ellipse", edge_kernel, edge_iters, "ed")
+    masks_b = morph_bits(masks_b, valid, "ellipse", edge_kernel, edge_iters, "de")
+    masks = unpack_bitboards(masks_b, w).astype(jnp.uint8) * 255
     edges = canny(gaussian_blur_u8(masks, blur_kernel), low, high)
     if pallas_thinning:
         from .pallas_kernels import zhang_suen_pallas  # noqa: PLC0415

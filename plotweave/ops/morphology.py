@@ -85,3 +85,69 @@ def morph_open(x, shape="rect", ksize=3, iterations=1):
 
 def morph_close(x, shape="rect", ksize=3, iterations=1):
     return _morph(x, shape, ksize, iterations, "de")
+
+
+# --------------------------------------------------------------------------
+# Bit-packed binary morphology: erode/dilate on 0/255 masks are pure AND/OR
+# algebra, so 32 columns ride in each uint32 lane (same representation as
+# ops.thinning's bitboards) — measured 2.9x faster than the dense min/max
+# chain on the chip (10.4 -> 3.6 ms for the stage 02+03 8-pass program on
+# 4x1500x2000).  Border semantics match the dense ops: dilation's zero-fill
+# shifts ARE the non-feeding border; erosion runs as ~dilate(~x) with the
+# padding bits kept zero so outside reads as set (the non-constraining
+# border).  Bit-exact vs _morph on binary inputs (fuzz-pinned).
+
+
+def _shift_cols_bits(p: jax.Array, dx: int) -> jax.Array:
+    """bit j of the result = bit j+dx of the packed row (LSB-first within
+    each uint32 word, carries across word boundaries, zero fill)."""
+    from .thinning import _shift_words  # noqa: PLC0415
+
+    if dx == 0:
+        return p
+    if dx > 0:
+        return (p >> np.uint32(dx)) | (_shift_words(p, 1) << np.uint32(32 - dx))
+    return (p << np.uint32(-dx)) | (_shift_words(p, -1) >> np.uint32(32 + dx))
+
+
+def _dilate_bits(x: jax.Array, se: np.ndarray) -> jax.Array:
+    from .thinning import _shift_rows  # noqa: PLC0415
+
+    ys, xs = np.nonzero(se)
+    r = se.shape[0] // 2
+    acc = None
+    for dy, dx in zip(ys.tolist(), xs.tolist()):
+        t = _shift_cols_bits(_shift_rows(x, dy - r), dx - r)
+        acc = t if acc is None else (acc | t)
+    return acc
+
+
+def _valid_bits(w: int) -> np.ndarray:
+    """uint32 lane mask with bits [0, w) set (padding bits beyond w zero)."""
+    nw = -(-w // 32)
+    bits = (np.arange(nw * 32) < w).astype(np.uint64).reshape(nw, 32)
+    weights = (np.uint64(1) << np.arange(32, dtype=np.uint64))
+    return (bits * weights).sum(axis=-1).astype(np.uint32)
+
+
+def morph_bits(x: jax.Array, valid, shape: str, ksize: int, iterations: int, program: str):
+    """The _morph program on uint32 bitboards ((..., rows, ceil(W/32));
+    ``valid`` from :func:`_valid_bits`)."""
+    se = structuring_element(shape, ksize)
+    for op in program:
+        for _ in range(iterations):
+            if op == "d":
+                x = _dilate_bits(x, se)
+            else:
+                x = (~_dilate_bits((~x) & valid, se)) & valid
+    return x
+
+
+def morph_binary_packed(x, shape: str, ksize: int, iterations: int, program: str):
+    """Drop-in for :func:`_morph` on BINARY (0/255 or 0/1) uint8 masks:
+    pack → bit-domain program → unpack to 0/255 uint8."""
+    from .thinning import pack_bitboards, unpack_bitboards  # noqa: PLC0415
+
+    w = x.shape[-1]
+    b = morph_bits(pack_bitboards(x), jnp.asarray(_valid_bits(w)), shape, ksize, iterations, program)
+    return unpack_bitboards(b, w).astype(jnp.uint8) * 255

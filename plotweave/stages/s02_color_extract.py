@@ -32,7 +32,6 @@ from ..ops import morph_close, morph_open
 from ..ops.bitpack import bitpack_rows, bitunpack_rows
 from ..ops.colorspace import bgr_to_lab_u8
 from ..ops.cvkmeans import assign_labels, cv_kmeans
-from ..ops.morphology import _morph
 from ..utils import (
     fetch_device_artifact,
     raster_device_ctx,
@@ -58,14 +57,28 @@ def _assign_tail(lab, best_centers, k: int, open_iters: int, close_iters: int):
     labels = jnp.argmin(d2, axis=1).reshape(lab.shape[:2])
     sel = labels[None, :, :] == jnp.arange(k)[:, None, None]
     counts = sel.sum(axis=(1, 2))
-    masks = sel.astype(jnp.uint8) * 255
-    if open_iters > 0:
-        masks = _morph(masks, "rect", 3, open_iters, "ed")
-    if close_iters > 0:
-        masks = _morph(masks, "rect", 3, close_iters, "de")
+    masks = _binary_morph_u8(sel, lab.shape[1], open_iters, close_iters)
     counts_bits = jax.lax.bitcast_convert_type(counts[:, None].astype(jnp.int32), jnp.float32)
     stats = jnp.concatenate([best_centers, counts_bits], axis=1)
     return stats, bitpack_rows(masks), masks
+
+
+def _binary_morph_u8(masks, w: int, open_iters: int, close_iters: int,
+                     shape: str = "rect", ksize: int = 3):
+    """Open/close on binary masks via the bit-packed morphology (one pack →
+    programs → one unpack); returns 0/255 uint8."""
+    from ..ops.morphology import _valid_bits, morph_bits  # noqa: PLC0415
+    from ..ops.thinning import pack_bitboards, unpack_bitboards  # noqa: PLC0415
+
+    if open_iters <= 0 and close_iters <= 0:
+        return (masks > 0).astype(jnp.uint8) * 255
+    b = pack_bitboards(masks)
+    valid = jnp.asarray(_valid_bits(w))
+    if open_iters > 0:
+        b = morph_bits(b, valid, shape, ksize, open_iters, "ed")
+    if close_iters > 0:
+        b = morph_bits(b, valid, shape, ksize, close_iters, "de")
+    return unpack_bitboards(b, w).astype(jnp.uint8) * 255
 
 
 def _chain_tail(masks, mk: int, oi: int, ci: int, bk: int, lo: int, hi: int):
@@ -75,11 +88,7 @@ def _chain_tail(masks, mk: int, oi: int, ci: int, bk: int, lo: int, hi: int):
     from ..ops.filters import gaussian_blur_u8  # noqa: PLC0415
     from ..ops.thinning import zhang_suen  # noqa: PLC0415
 
-    m = masks
-    if oi > 0:
-        m = _morph(m, "ellipse", mk, oi, "ed")
-    if ci > 0:
-        m = _morph(m, "ellipse", mk, ci, "de")
+    m = _binary_morph_u8(masks, masks.shape[-1], oi, ci, "ellipse", mk)
     edges = canny(gaussian_blur_u8(m, bk), lo, hi)
     skels = zhang_suen(edges, max_iter=120, rotated=True)
     return jnp.concatenate([bitpack_rows(edges), bitpack_rows(skels)], axis=0)
@@ -129,11 +138,7 @@ def _clean_masks(packed_raw, w: int, open_iters: int, close_iters: int):
     masks, apply the 3×3 rect open/close clean-up (02:136-154), and return
     them bit-packed (host transfer) plus unpacked (device-resident handoff
     to stage 03)."""
-    masks = bitunpack_rows(packed_raw, w) * jnp.uint8(255)
-    if open_iters > 0:
-        masks = _morph(masks, "rect", 3, open_iters, "ed")
-    if close_iters > 0:
-        masks = _morph(masks, "rect", 3, close_iters, "de")
+    masks = _binary_morph_u8(bitunpack_rows(packed_raw, w), w, open_iters, close_iters)
     return bitpack_rows(masks), masks
 
 

@@ -18,7 +18,6 @@ from ..config import PipelineConfig
 from ..ops.bitpack import bitpack_rows, unpack_rows
 from ..ops.canny import canny
 from ..ops.filters import gaussian_blur_u8
-from ..ops.morphology import _morph
 from ..utils import (
     fetch_derived_artifact,
     fetch_device_artifact,
@@ -37,11 +36,9 @@ def _edges_batched(masks, mk: int, oi: int, ci: int, bk: int, lo: int, hi: int):
     """(L, H, W) masks → (L, H, W) edges; the ops are natively layer-batched.
     Edges come back both packed (8 px/byte for the host transfer) and
     unpacked (device-resident, handed to stage 04)."""
-    m = masks
-    if oi > 0:
-        m = _morph(m, "ellipse", mk, oi, "ed")
-    if ci > 0:
-        m = _morph(m, "ellipse", mk, ci, "de")
+    from .s02_color_extract import _binary_morph_u8  # noqa: PLC0415
+
+    m = _binary_morph_u8(masks, masks.shape[-1], oi, ci, "ellipse", mk)
     e = canny(gaussian_blur_u8(m, bk), lo, hi)
     return bitpack_rows(e), e
 

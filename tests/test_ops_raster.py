@@ -185,3 +185,20 @@ def test_kmeans_deterministic_and_sane():
     # every blob is recovered: each true center near some fitted center
     for c in [(20, 20, 20), (80, 100, 120), (200, 128, 128), (240, 200, 180)]:
         assert np.min(np.linalg.norm(c1 - np.array(c), axis=1)) < 5.0
+
+
+def test_morphology_packed_matches_dense_fuzz():
+    """Binary morphology runs bit-packed in the fused chains; pin it to the
+    dense min/max implementation over shapes/kernels/programs."""
+    from plotweave.ops.morphology import _morph, morph_binary_packed
+
+    r = np.random.default_rng(31)
+    for _ in range(6):
+        h, w = int(r.integers(20, 180)), int(r.integers(20, 180))
+        m = (r.random((3, h, w)) < r.uniform(0.2, 0.7)).astype(np.uint8) * 255
+        for shape in ("rect", "ellipse", "cross"):
+            for k in (3, 5, 7):
+                for prog in ("ed", "de", "e", "d"):
+                    a = np.asarray(_morph(m, shape, k, 1, prog))
+                    b = np.asarray(morph_binary_packed(m, shape, k, 1, prog))
+                    assert np.array_equal(a, b), (h, w, shape, k, prog)
