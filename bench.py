@@ -8,12 +8,22 @@ program (2000×1500 → 4 layers → morphology → Gaussian → Canny → Zhang
 against the reference's cv2/numpy single-core equivalents (0.9643 Mpx/s,
 tests/tools/measure_reference_baseline.py).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} on success,
+or {"metric", "error"} if every attempt failed — never a bare traceback.
+
+Resilience (the chip is single-tenant and the tunnel flaps — see CLAUDE.md
+"Environment facts"): a trivial-op + HOST-FETCH health probe runs before any
+warmup, every pipeline run is retried with exponential backoff on runtime
+errors (FAILED_PRECONDITION clears when the other tenant releases the chip),
+and the final JSON is emitted from the best *completed* run even when later
+runs fail.  Timing sync uses host fetches of device scalars — CLAUDE.md:
+``block_until_ready`` does not reliably block on this backend.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -21,6 +31,60 @@ import numpy as np
 # measured via tests/tools/measure_reference_baseline.py (2000×1500, 4 layers,
 # cv2.setNumThreads(1), OMP_NUM_THREADS=1): 3.11 s → 0.9643 Mpx/s
 REFERENCE_SINGLE_CORE_MPX_S = 0.9643
+
+# retry schedule (seconds between attempts) for transient device errors;
+# tenancy conflicts on the single-tenant chip clear on the other process's
+# exit, so waiting ~2 min total is worthwhile before giving up
+BACKOFF_S = (5.0, 15.0, 30.0, 60.0)
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(obj: dict, rc: int) -> None:
+    print(json.dumps(obj), flush=True)
+    raise SystemExit(rc)
+
+
+def _retrying(label: str, fn, attempts: int = len(BACKOFF_S) + 1):
+    """Run ``fn()`` with backoff on ANY exception; return (value, None) on
+    success or (None, last_exception) after ``attempts`` failures."""
+    last = None
+    for i in range(attempts):
+        try:
+            return fn(), None
+        except BaseException as e:  # noqa: BLE001 — SystemExit from a stage counts too
+            if isinstance(e, KeyboardInterrupt):
+                raise
+            last = e
+            _log(f"{label}: attempt {i + 1}/{attempts} failed: {type(e).__name__}: {e}")
+            if i + 1 < attempts:
+                delay = BACKOFF_S[min(i, len(BACKOFF_S) - 1)]
+                _log(f"{label}: retrying in {delay:.0f}s")
+                time.sleep(delay)
+    return None, last
+
+
+def probe_chip(attempts: int = len(BACKOFF_S) + 1) -> float:
+    """Health-check the device with a trivial op + HOST FETCH round trip
+    (the CLAUDE.md "healthy-tunnel sanity check").  Returns the round-trip
+    seconds; raises after ``attempts`` failures."""
+
+    def one() -> float:
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        t0 = time.perf_counter()
+        v = float(np.asarray(jnp.sum(jnp.arange(8.0))))
+        if v != 28.0:
+            raise RuntimeError(f"probe computed {v}, expected 28.0")
+        return time.perf_counter() - t0
+
+    rtt, err = _retrying("probe", one, attempts)
+    if rtt is None:
+        raise RuntimeError(f"chip probe failed after {attempts} attempts: {err!r}")
+    _log(f"chip healthy; probe round trip {rtt * 1e3:.0f} ms")
+    return rtt
 
 
 def synth_image(h=1500, w=2000, seed=0):
@@ -40,17 +104,12 @@ def synth_image(h=1500, w=2000, seed=0):
     return img
 
 
-def bench_e2e(device_init: bool = False) -> None:
-    """Primary benchmark: full image→stream pipeline Mpx/s.
-
-    Baseline measured on this host: the reference pipeline (steps 1–13,
-    subprocess-per-step, single-core cv2) on the same 1024×768 4-color image:
-    189.5 s → 0.0042 Mpx/s.  plotweave runs the same chain warm in ~1.6 s
-    (device-artifact handoffs + bitpacked transfers keep the tunnel mostly
-    idle); a fresh process with the persistent compile cache adds one-time
-    device/attach costs.
-    """
+def _make_e2e_runner(device_init: bool):
+    """Build (runner, cleanup, mpx): runner(tag) runs the full pipeline into a
+    fresh output dir and returns wall seconds.  Fresh dir per call so a failed
+    attempt never leaves half-written artifacts for the retry."""
     import json as _json
+    import os
     import shutil
     import tempfile
     import cv2
@@ -59,7 +118,6 @@ def bench_e2e(device_init: bool = False) -> None:
     from plotweave.config import load_config
     from plotweave.pipeline import run_pipeline
 
-    ref_mpx_s = 0.0042
     rng = np.random.default_rng(7)
     H, W = 768, 1024
     img = np.zeros((H, W, 3), np.uint8)
@@ -77,8 +135,9 @@ def bench_e2e(device_init: bool = False) -> None:
     base = tempfile.mkdtemp(prefix="pw_bench_")
     cv2.imwrite(f"{base}/img.png", img)
 
-    def one_run(tag):
+    def runner(tag: str) -> float:
         out = f"{base}/{tag}"
+        shutil.rmtree(out, ignore_errors=True)
         cfg_d = {
             "input_image": f"{base}/img.png", "output_dir": out,
             "colors": [list(c) for c in colors],
@@ -89,8 +148,6 @@ def bench_e2e(device_init: bool = False) -> None:
         }
         if device_init:
             cfg_d["kmeans_init"] = "device"
-        import os
-
         os.makedirs(out, exist_ok=True)
         with open(f"{out}/config.json", "w") as f:
             _json.dump(cfg_d, f)
@@ -99,33 +156,79 @@ def bench_e2e(device_init: bool = False) -> None:
         run_pipeline(cfg, 1, 13)
         return time.perf_counter() - t0
 
-    one_run("warmup")  # compile (fills the persistent cache)
-    dt = min(one_run("timed1"), one_run("timed2"))  # tunnel-latency variance
-    shutil.rmtree(base, ignore_errors=True)
-    value = (H * W / 1e6) / dt
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_image_to_stream_megapixels_per_sec",
-                "value": round(value, 4),
-                "unit": "Mpx/s",
-                "vs_baseline": round(value / ref_mpx_s, 2),
-            }
-        )
+    def cleanup() -> None:
+        shutil.rmtree(base, ignore_errors=True)
+
+    return runner, cleanup, H * W / 1e6
+
+
+def bench_e2e(device_init: bool = False, runner_factory=None, probe=probe_chip) -> None:
+    """Primary benchmark: full image→stream pipeline Mpx/s.
+
+    Baseline measured on this host: the reference pipeline (steps 1–13,
+    subprocess-per-step, single-core cv2) on the same 1024×768 4-color image:
+    189.5 s → 0.0042 Mpx/s.  ``runner_factory``/``probe`` are injectable for
+    the resilience tests (tests/test_bench_resilience.py).
+    """
+    ref_mpx_s = 0.0042
+    metric = "e2e_image_to_stream_megapixels_per_sec"
+
+    try:
+        probe()
+    except BaseException as e:  # noqa: BLE001
+        _emit({"metric": metric, "error": f"device probe failed: {e}"}, 1)
+
+    runner, cleanup, mpx = (runner_factory or _make_e2e_runner)(device_init)
+    try:
+        # warmup fills the persistent compile cache; its wall time also serves
+        # as the best-completed-run fallback if both timed runs then fail
+        warm, err = _retrying("warmup", lambda: runner("warmup"))
+        if warm is None:
+            _emit({"metric": metric, "error": f"warmup never completed: {err}"}, 1)
+
+        times = []
+        for tag in ("timed1", "timed2"):  # min() over 2: tunnel-latency variance
+            t, err = _retrying(tag, lambda tag=tag: runner(tag), attempts=3)
+            if t is not None:
+                times.append(t)
+        if not times:
+            _log(f"no timed run completed ({err}); falling back to the warmup time "
+                 "(warm persistent cache — compile cost only on a cold cache)")
+            times = [warm]
+        dt = min(times)
+    finally:
+        cleanup()
+
+    value = mpx / dt
+    _emit(
+        {
+            "metric": metric,
+            "value": round(value, 4),
+            "unit": "Mpx/s",
+            "vs_baseline": round(value / ref_mpx_s, 2),
+        },
+        0,
     )
 
 
-def main() -> None:
-    import sys
+def bench_frontend() -> None:
+    """Fused stage-01–04 device program, sustained Mpx/s.
 
-    # Default = the BASELINE.json metric: end-to-end image→stream Mpx/s.
-    # --frontend measures the fused stage-01–04 device program in isolation.
-    if "--frontend" not in sys.argv:
-        # --device-init: the opt-in single-dispatch stage-02 production mode
-        bench_e2e(device_init="--device-init" in sys.argv)
-        return
+    Sync contract (CLAUDE.md): ``block_until_ready`` is unreliable on this
+    backend — completion is forced by HOST-FETCHING a device-side scalar
+    reduction of the outputs (only the scalar crosses the slow tunnel).  The
+    device executes dispatches in order, so fetching the final iteration's
+    reduction bounds the whole timed window.
+    """
+    metric = "raster_frontend_megapixels_per_sec"
+
+    try:
+        probe_chip()
+    except BaseException as e:  # noqa: BLE001
+        _emit({"metric": metric, "error": f"device probe failed: {e}"}, 1)
 
     import jax
+    import jax.numpy as jnp
 
     from plotweave.ops.frontend import raster_frontend
 
@@ -136,33 +239,47 @@ def main() -> None:
         [[40, 128, 128], [110, 140, 120], [180, 150, 140], [240, 128, 126]], np.float32
     )
 
-    dev_img = jax.device_put(img)
-    dev_ctr = jax.device_put(centers)
+    def fetch(out) -> float:
+        # device-side reduction per leaf; only scalars cross the tunnel
+        return float(sum(np.asarray(jnp.sum(jnp.asarray(o, jnp.float32))) for o in jax.tree.leaves(out)))
 
-    # warmup / compile
-    out = raster_frontend(dev_img, dev_ctr, k=4)
-    jax.block_until_ready(out)
+    def one_round() -> float:
+        dev_img = jax.device_put(img)
+        dev_ctr = jax.device_put(centers)
+        fetch(raster_frontend(dev_img, dev_ctr, k=4))  # warmup; fetch proves compile+run finished
+        # enough back-to-back dispatches to amortize the host↔device tunnel
+        # latency: this measures sustained device throughput
+        iters = 50
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = raster_frontend(dev_img, dev_ctr, k=4)
+        fetch(out)  # forces the whole in-order dispatch queue to completion
+        return (time.perf_counter() - t0) / iters
 
-    # enough back-to-back dispatches to amortize the host↔device tunnel
-    # latency: this measures sustained device throughput
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = raster_frontend(dev_img, dev_ctr, k=4)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    dt, err = _retrying("frontend", one_round)
+    if dt is None:
+        _emit({"metric": metric, "error": f"frontend bench never completed: {err}"}, 1)
 
     value = mpx / dt
-    print(
-        json.dumps(
-            {
-                "metric": "raster_frontend_megapixels_per_sec",
-                "value": round(value, 3),
-                "unit": "Mpx/s",
-                "vs_baseline": round(value / REFERENCE_SINGLE_CORE_MPX_S, 2),
-            }
-        )
+    _emit(
+        {
+            "metric": metric,
+            "value": round(value, 3),
+            "unit": "Mpx/s",
+            "vs_baseline": round(value / REFERENCE_SINGLE_CORE_MPX_S, 2),
+        },
+        0,
     )
+
+
+def main() -> None:
+    # Default = the BASELINE.json metric: end-to-end image→stream Mpx/s.
+    # --frontend measures the fused stage-01–04 device program in isolation.
+    if "--frontend" in sys.argv:
+        bench_frontend()
+    else:
+        # --device-init: the opt-in single-dispatch stage-02 production mode
+        bench_e2e(device_init="--device-init" in sys.argv)
 
 
 if __name__ == "__main__":

@@ -287,6 +287,10 @@ def cv_kmeans_native(
         centers.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
+    if np.isnan(comp):
+        # kmeans++ found no finite trial cost (all-NaN data): OpenCV raises
+        # CV_Error here and the Python fallback raises RuntimeError — match it
+        raise RuntimeError("kmeans++ seeding failed (non-finite data?)")
     return float(comp), labels, centers
 
 

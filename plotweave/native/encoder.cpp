@@ -851,9 +851,12 @@ static inline float pw_l2sqr(const float* a, const float* b, int dims) {
     return d;
 }
 
-static void pw_centers_pp(const float* data, int64_t N, int dims, int K,
-                          uint64_t* rng, float* out_centers,
-                          float* dist, float* tdist, float* tdist2) {
+// returns 0 on success, -1 when no trial produced a finite cost (all-NaN
+// data would otherwise leave best_center == -1 and read out of bounds;
+// OpenCV raises CV_Error here, the Python fallback raises RuntimeError)
+static int pw_centers_pp(const float* data, int64_t N, int dims, int K,
+                         uint64_t* rng, float* out_centers,
+                         float* dist, float* tdist, float* tdist2) {
     const int trials = 3;
     std::vector<int64_t> centers((size_t)K);
     centers[0] = (int64_t)(pw_rng_next(rng) % (uint32_t)N);
@@ -887,6 +890,7 @@ static void pw_centers_pp(const float* data, int64_t N, int dims, int K,
                 std::swap(tdist, tdist2);
             }
         }
+        if (best_center < 0) return -1;
         centers[k] = best_center;
         sum0 = best_sum;
         std::swap(dist, tdist);
@@ -894,6 +898,7 @@ static void pw_centers_pp(const float* data, int64_t N, int dims, int K,
     for (int k = 0; k < K; k++)
         std::memcpy(out_centers + (size_t)k * dims, data + centers[k] * dims,
                     sizeof(float) * dims);
+    return 0;
 }
 
 // returns compactness; fills out_centers (K*dims f32) and out_labels (N i32)
@@ -927,8 +932,10 @@ extern "C" double pw_cv_kmeans(const float* data, int64_t N, int dims, int K,
         for (int iter = 0;;) {
             std::swap(centers, old_centers);
             if (iter == 0) {
-                pw_centers_pp(data, N, dims, K, &rng, centers,
-                              ppd.data(), ppd.data() + N, ppd.data() + 2 * N);
+                if (pw_centers_pp(data, N, dims, K, &rng, centers,
+                                  ppd.data(), ppd.data() + N,
+                                  ppd.data() + 2 * N) != 0)
+                    return (double)NAN;  // caller raises (cv_kmeans_native)
             } else {
                 // accumulate in sample order (float32)
                 std::memset(centers, 0, sizeof(float) * (size_t)K * dims);

@@ -88,7 +88,14 @@ def _pp_pick(p: float, dist: np.ndarray, n: int) -> int:
 
 
 def generate_centers_pp(data: np.ndarray, K: int, rng: CvRNG, trials: int = 3) -> np.ndarray:
-    """OpenCV generateCentersPP (modules/core/src/kmeans.cpp)."""
+    """OpenCV generateCentersPP (modules/core/src/kmeans.cpp).
+
+    Exactness scope: trial costs are accumulated with ``np.sum`` (pairwise)
+    while OpenCV and the native ``pw_centers_pp`` accumulate sequentially —
+    identical whenever the squared distances are exactly representable
+    (the uint8-Lab production data: all d² are integers), but on arbitrary
+    float data a summation-order ulp can flip a trial pick.  Same scoping as
+    the compactness note in :func:`cv_kmeans`."""
     N = data.shape[0]
     idx = np.empty(K, dtype=np.int64)
     idx[0] = rng.next32() % N

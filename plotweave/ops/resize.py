@@ -89,6 +89,64 @@ def _frac_vsum(p: jax.Array) -> jax.Array:
     return jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
 
 
+# extreme-ratio chunking: the product stack is (taps, H, W', C) float32, so
+# taps ≈ ceil(scale)+1 makes memory scale with the downscale ratio (ADVICE r2
+# #4: 8000→100 ≈ 81 taps ≈ hundreds of MB).  Above this many taps the passes
+# accumulate per fixed-size tap groups instead — same products, same
+# sequential add order, just cut at extra kernel boundaries (which is the
+# fma-safe cut, see _area_resize_frac), capping the stack at
+# _TAP_CHUNK·H·W'·C·4 bytes.  Ratios ≤ ~15 keep the 3-dispatch fast path.
+_TAP_CHUNK = 16
+
+
+@partial(jax.jit, static_argnames=("new_w", "t0", "t1"))
+def _frac_hprod_chunk(img: jax.Array, new_w: int, t0: int, t1: int) -> jax.Array:
+    xsi, xal = _resize_area_tab(img.shape[1], new_w)
+    x = img.astype(jnp.float32)
+    return jnp.stack(
+        [x[:, xsi[:, t], :] * xal[None, :, t, None] for t in range(t0, t1)]
+    )
+
+
+@partial(jax.jit, static_argnames=("new_h", "t0", "t1"))
+def _frac_vprod_chunk(hb: jax.Array, new_h: int, t0: int, t1: int) -> jax.Array:
+    ysi, yal = _resize_area_tab(hb.shape[0], new_h)
+    return jnp.stack(
+        [hb[ysi[:, t], :, :] * yal[:, t, None, None] for t in range(t0, t1)]
+    )
+
+
+@jax.jit
+def _frac_add_first(p: jax.Array) -> jax.Array:
+    acc = p[0]
+    for t in range(1, p.shape[0]):
+        acc = acc + p[t]
+    return acc
+
+
+@jax.jit
+def _frac_add_into(acc: jax.Array, p: jax.Array) -> jax.Array:
+    for t in range(p.shape[0]):
+        acc = acc + p[t]
+    return acc
+
+
+@jax.jit
+def _frac_round_u8(acc: jax.Array) -> jax.Array:
+    return jnp.clip(jnp.rint(acc), 0, 255).astype(jnp.uint8)
+
+
+def _frac_pass_chunked(prod, taps: int) -> jax.Array:
+    """Ordered tap accumulation in _TAP_CHUNK groups: products come from one
+    kernel, the adds consuming them from the next (materialized boundary =
+    no fma contraction), and group order preserves the global add order."""
+    acc = None
+    for t0 in range(0, taps, _TAP_CHUNK):
+        p = prod(t0, min(t0 + _TAP_CHUNK, taps))
+        acc = _frac_add_first(p) if acc is None else _frac_add_into(acc, p)
+    return acc
+
+
 def _area_resize_frac(img: jax.Array, new_w: int, new_h: int) -> jax.Array:
     """OpenCV ``ResizeArea`` replica: horizontal pass then vertical pass,
     accumulating taps in table order, so every float32 rounding step matches.
@@ -101,9 +159,20 @@ def _area_resize_frac(img: jax.Array, new_w: int, new_h: int) -> jax.Array:
     product stacks at kernel boundaries is the only contraction-proof cut.
     (TPU does not contract here, but one implementation must be bit-exact on
     both backends — the e2e goldens run on both.)
+
+    Extreme downscale ratios (> ~15, taps > _TAP_CHUNK) switch to the
+    chunked accumulation above — bit-identical, bounded memory.
     """
     x = img if img.ndim == 3 else img[:, :, None]
-    o = _frac_vsum(_frac_hsum_vprod(_frac_hprod(x, new_w, new_h), new_w, new_h))
+    th = _resize_area_tab(x.shape[1], new_w)[0].shape[1]
+    tv = _resize_area_tab(x.shape[0], new_h)[0].shape[1]
+    if th <= _TAP_CHUNK and tv <= _TAP_CHUNK:
+        o = _frac_vsum(_frac_hsum_vprod(_frac_hprod(x, new_w, new_h), new_w, new_h))
+    else:
+        hb = _frac_pass_chunked(lambda a, b: _frac_hprod_chunk(x, new_w, a, b), th)
+        o = _frac_round_u8(
+            _frac_pass_chunked(lambda a, b: _frac_vprod_chunk(hb, new_h, a, b), tv)
+        )
     return o if img.ndim == 3 else o[:, :, 0]
 
 

@@ -1,0 +1,161 @@
+"""Mesh data-parallelism for the production batch runner (BASELINE config 4).
+
+The reference parallelizes with a fork pool (03_edge_detect.py:42-48); the
+batch runner's host threads already overlap per-image host stages with
+device waits, but on a multi-chip mesh each image's fused 02→04 dispatch
+would still serialize onto one device.  This module groups the per-image
+dispatches arriving from concurrent worker threads into ONE ``shard_map``
+program over the mesh ``data`` axis, so a batch of images fans out across
+every chip (no cross-image collectives — images are independent).
+
+Grouping policy: a submission joins the open group for its (shape, params)
+key; the group dispatches when every live worker is blocked in a submit
+(no further request can possibly arrive) or after a short linger window
+(mixed-shape batches).  Sub-multiple groups are padded by repeating the
+first image and the padded rows discarded — per-image results are therefore
+byte-identical to unbatched runs (all chain compute is integer/bit-packed;
+tests/test_batch.py::test_batch_mesh_dp_byte_identical).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+import time
+from functools import lru_cache, partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_ACTIVE: Optional["DeviceBatcher"] = None
+_ACTIVE_LOCK = threading.Lock()
+
+
+def active_batcher() -> Optional["DeviceBatcher"]:
+    """The batcher installed by the current ``run_pipeline_batch`` mesh-DP
+    run, if any (consulted by stage 02 before its solo chain dispatch)."""
+    return _ACTIVE
+
+
+@contextlib.contextmanager
+def batcher_ctx(batcher: "DeviceBatcher"):
+    global _ACTIVE
+    with _ACTIVE_LOCK:
+        if _ACTIVE is not None:
+            raise RuntimeError("a DeviceBatcher is already active")
+        _ACTIVE = batcher
+    try:
+        yield batcher
+    finally:
+        with _ACTIVE_LOCK:
+            _ACTIVE = None
+
+
+@lru_cache(maxsize=32)
+def _compiled_chain(mesh, w: int, params: Tuple[int, ...]):
+    """Jitted shard_map of the batched 02→04 chain body over ``data``.
+
+    Cached per (mesh, width, static params) — a fresh wrapper per dispatch
+    would miss jax's program cache (hash keyed on the mesh object)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from ..stages.s02_color_extract import _clean_chain_blob_batch
+
+    oi_x, ci_x, mk, oi, ci, bk, lo, hi = params
+    body = partial(
+        _clean_chain_blob_batch,
+        w=w, open_iters=oi_x, close_iters=ci_x,
+        mk=mk, oi=oi, ci=ci, bk=bk, lo=lo, hi=hi,
+    )
+    fn = shard_map(body, mesh=mesh, in_specs=(P("data"),), out_specs=P("data"), check_rep=False)
+    return jax.jit(fn)
+
+
+class DeviceBatcher:
+    """Rendezvous point turning concurrent per-image chain dispatches into
+    mesh-wide batched dispatches.  Thread-safe; one per batch run."""
+
+    def __init__(self, mesh, n_workers: int, n_images: int, linger_s: float = 0.5):
+        self.mesh = mesh
+        self.n_data = int(np.prod(mesh.devices.shape))
+        self._workers = max(1, int(n_workers))
+        self._images_left = int(n_images)
+        self._cv = threading.Condition()
+        # key -> list of [arr, result_slot]; slot = [result, error]
+        self._pending: Dict[tuple, List[list]] = {}
+        self._deadline: Dict[tuple, float] = {}
+        self._linger = float(linger_s)
+        self.n_dispatches = 0
+        self.n_batched_images = 0
+
+    # ---- lifecycle bookkeeping (called by the batch runner) ----
+    def image_finished(self) -> None:
+        """One image's pipeline completed (or failed): shrinks the capacity
+        bound so trailing groups don't wait for submitters that can never
+        arrive."""
+        with self._cv:
+            self._images_left -= 1
+            self._cv.notify_all()
+
+    def _capacity(self) -> int:
+        return max(1, min(self._workers, self._images_left))
+
+    # ---- the stage-02 entry point ----
+    def run_chain(self, packed_np: np.ndarray, w: int, params: Tuple[int, ...]) -> np.ndarray:
+        """(k, H, ⌈W/8⌉) uint8 packed one-hot masks → flat uint8 blob
+        [packed cleaned masks][packed edges][packed skeletons], identical to
+        stage 02's solo ``_clean_masks_chain`` fetch."""
+        key = (packed_np.shape, int(w), tuple(int(p) for p in params))
+        slot = [None, None]
+        with self._cv:
+            group = self._pending.setdefault(key, [])
+            group.append([packed_np, slot])
+            if len(group) == 1:
+                self._deadline[key] = time.monotonic() + self._linger
+            self._cv.notify_all()
+            while slot[0] is None and slot[1] is None:
+                group = self._pending.get(key)
+                if group and group[0][1] is slot:
+                    # group leader: dispatch when no further submission can
+                    # arrive (every live worker is parked here) or on linger
+                    # expiry; else sleep until one of those can change
+                    npend = sum(len(g) for g in self._pending.values())
+                    now = time.monotonic()
+                    if npend >= self._capacity() or now >= self._deadline[key]:
+                        batch = self._pending.pop(key)
+                        self._deadline.pop(key, None)
+                        self._dispatch(key, batch)
+                        continue
+                    self._cv.wait(timeout=max(0.01, self._deadline[key] - now))
+                else:
+                    self._cv.wait(timeout=0.05)
+        if slot[1] is not None:
+            raise slot[1]
+        return slot[0]
+
+    def _dispatch(self, key, batch: List[list]) -> None:
+        """Stack, pad to a multiple of the mesh size, run, scatter results.
+        Runs under the lock: the device is single-tenant and every same-key
+        peer is parked waiting on these slots anyway."""
+        import jax
+        from .mesh import data_sharding
+
+        arrs = [a for a, _ in batch]
+        b = len(arrs)
+        padded = (-b) % self.n_data
+        arrs = arrs + [arrs[0]] * padded
+        try:
+            fn = _compiled_chain(self.mesh, key[1], key[2])
+            dev = jax.device_put(np.stack(arrs), data_sharding(self.mesh))
+            out = np.asarray(fn(dev))[:b]
+        except Exception as ex:  # noqa: BLE001 — deliver to every waiter
+            for _, slot in batch:
+                slot[1] = ex
+        else:
+            for (_, slot), row in zip(batch, out):
+                slot[0] = row
+            self.n_dispatches += 1
+            self.n_batched_images += b
+        self._cv.notify_all()

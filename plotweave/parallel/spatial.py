@@ -239,12 +239,20 @@ def _thin_halo_b(edges: jax.Array, max_iter: int = 120, reduce_axes=(AXIS,)) -> 
 MIN_ROWS_PER_SHARD = 8
 
 
-def fit_shard_rows(h: int, requested: int, n_devices: int) -> int:
+def fit_shard_rows(h: int, requested: int, n_devices: int, max_radius: int = 0) -> int:
     """Largest shard count ≤ min(requested, n_devices) that divides ``h``
-    evenly AND leaves ≥ MIN_ROWS_PER_SHARD rows per shard (shard_map needs
-    equal row slabs and the halo stencils need working margin; remainder
-    handling is a documented non-goal — see ROADMAP)."""
-    cap = max(1, min(int(requested), int(n_devices), int(h) // MIN_ROWS_PER_SHARD or 1))
+    evenly AND leaves enough rows per shard for the halo stencils (shard_map
+    needs equal row slabs; remainder handling is a documented non-goal — see
+    ROADMAP).
+
+    ``max_radius`` is the largest stencil radius the sharded program will
+    run (edge-morph kernel // 2, blur kernel // 2, Canny's 2): a shard must
+    hold ≥ radius+1 rows or ``_with_halo_b``'s neighbor slices / reflect
+    fills come up short and fail with an opaque broadcast error at trace
+    time.  MIN_ROWS_PER_SHARD covers the default kernels; outsized
+    configured kernels raise the floor here instead of crashing later."""
+    min_rows = max(MIN_ROWS_PER_SHARD, int(max_radius) + 1)
+    cap = max(1, min(int(requested), int(n_devices), int(h) // min_rows or 1))
     for n in range(cap, 0, -1):
         if h % n == 0:
             return n

@@ -133,16 +133,39 @@ def run_pipeline_batch(
     start_step: int = 1,
     end_step: int = 13,
     workers: int = 0,
+    mesh_dp: bool | None = None,
 ) -> List[float]:
     """Throughput mode for many images (BASELINE config 4): each image runs
     the full pipeline; a host thread pool overlaps one image's host-side
     stages (tracing, dedup, stream emission, PNG encodes) with the device
-    work of the others.  Images are independent, so outputs are byte-for-byte
-    the same as sequential runs.  Returns per-image wall seconds."""
+    work of the others.  On a multi-device backend (``mesh_dp`` None=auto)
+    the per-image fused 02→04 chain dispatches additionally rendezvous into
+    one shard_map over the mesh ``data`` axis (parallel/batchrun.py), so the
+    batch fans out across every chip.  Images are independent, so outputs
+    are byte-for-byte the same as sequential runs.  Returns per-image wall
+    seconds."""
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
+    ndev = 1
+    if mesh_dp is None or mesh_dp:
+        try:
+            import jax  # noqa: PLC0415
+
+            ndev = len(jax.devices())
+        except Exception:  # noqa: BLE001 — no usable backend → host threads only
+            ndev = 1
+    use_mesh = ndev > 1 if mesh_dp is None else (mesh_dp and ndev > 1)
     if not workers:
-        workers = min(4, max(1, len(cfgs)))
+        # with a mesh, enough concurrent submitters to fill the data axis
+        workers = min(len(cfgs), max(4, ndev)) if use_mesh else min(4, max(1, len(cfgs)))
+
+    batcher = None
+    if use_mesh:
+        from .parallel.batchrun import DeviceBatcher, batcher_ctx  # noqa: PLC0415
+        from .parallel.mesh import make_mesh  # noqa: PLC0415
+
+        batcher = DeviceBatcher(make_mesh((ndev,), ("data",)), workers, len(cfgs))
+        print(f"[batch] mesh data-parallelism over {ndev} device(s)")
 
     def one(cfg: PipelineConfig) -> float:
         t0 = time.perf_counter()
@@ -155,12 +178,26 @@ def run_pipeline_batch(
                 flush=True,
             )
             return -1.0
+        finally:
+            if batcher is not None:
+                batcher.image_finished()
         return time.perf_counter() - t0
 
-    if workers == 1 or len(cfgs) == 1:
-        return [one(c) for c in cfgs]
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        return list(pool.map(one, cfgs))
+    def run_all() -> List[float]:
+        if workers == 1 or len(cfgs) == 1:
+            return [one(c) for c in cfgs]
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(one, cfgs))
+
+    if batcher is None:
+        return run_all()
+    with batcher_ctx(batcher):
+        times = run_all()
+    print(
+        f"[batch] mesh-DP: {batcher.n_batched_images} image chain(s) in "
+        f"{batcher.n_dispatches} batched dispatch(es)"
+    )
+    return times
 
 
 def parse_args(argv=None):

@@ -91,7 +91,8 @@ def _chain_tail(masks, mk: int, oi: int, ci: int, bk: int, lo: int, hi: int):
     m = _binary_morph_u8(masks, masks.shape[-1], oi, ci, "ellipse", mk)
     edges = canny(gaussian_blur_u8(m, bk), lo, hi)
     skels = zhang_suen(edges, max_iter=120, rotated=True)
-    return jnp.concatenate([bitpack_rows(edges), bitpack_rows(skels)], axis=0)
+    # axis=-3 == axis 0 for the solo (k, H, w8) case; keeps leading batch dims
+    return jnp.concatenate([bitpack_rows(edges), bitpack_rows(skels)], axis=-3)
 
 
 @partial(
@@ -169,6 +170,28 @@ def _clean_masks_chain(
     return blob, masks
 
 
+def _clean_chain_blob_batch(
+    packed_raw,
+    *,
+    w: int, open_iters: int, close_iters: int,
+    mk: int, oi: int, ci: int, bk: int, lo: int, hi: int,
+):
+    """Batched twin of :func:`_clean_masks_chain`: (B, k, H, ⌈W/8⌉) packed
+    one-hot masks → (B, L) per-image blobs [packed masks][edges][skels].
+    Every op is leading-dim batched and integer, so each row is byte-equal
+    to the solo program's blob (the mesh-DP batch runner relies on this —
+    parallel/batchrun.py)."""
+    masks = _binary_morph_u8(bitunpack_rows(packed_raw, w), w, open_iters, close_iters)
+    b = packed_raw.shape[0]
+    return jnp.concatenate(
+        [
+            bitpack_rows(masks).reshape(b, -1),
+            _chain_tail(masks, mk, oi, ci, bk, lo, hi).reshape(b, -1),
+        ],
+        axis=1,
+    )
+
+
 @lru_cache(maxsize=8)
 def _space_mesh(n: int, platform: str = ""):
     """One Mesh per (shard count, platform): a fresh Mesh object per image
@@ -193,6 +216,12 @@ def _resolve_shard_n(cfg: PipelineConfig, h: int, w: int) -> int:
     auto = float(getattr(cfg, "shard_auto_mpx", 0) or 0)
     if req <= 0 and auto <= 0:
         return 0
+    # largest stencil radius the sharded chain will run: edge-morph kernel,
+    # Gaussian blur, Canny's 2-row sobel/NMS margin — outsized configured
+    # kernels must shrink the shard count, not crash at trace time (the
+    # halo slices clip below radius+1 rows per shard)
+    mk, _oi, _ci, bk, _lo, _hi = edge_params(cfg)
+    max_radius = max(2, mk // 2, bk // 2)
     if str(getattr(cfg, "raster_device", "auto")).lower() == "cpu":
         # shard over the LOCAL CPU pool (can be >1 device under
         # jax_num_cpu_devices / --xla_force_host_platform_device_count)
@@ -204,12 +233,41 @@ def _resolve_shard_n(cfg: PipelineConfig, h: int, w: int) -> int:
     else:
         ndev = len(jax.devices())
     if req > 0:
-        return fit_shard_rows(h, req, ndev)
+        n = fit_shard_rows(h, req, ndev, max_radius)
+        if n < min(req, ndev) and max_radius * 2 + 1 > 17:
+            print(
+                f"[shard] note: stencil radius {max_radius} (configured edge "
+                f"kernels) caps shards at {n} for H={h} (needs ≥{max_radius + 1} "
+                "rows/shard)"
+            )
+        return n
     if h * w / 1e6 > auto:
-        n = fit_shard_rows(h, ndev, ndev)
+        n = fit_shard_rows(h, ndev, ndev, max_radius)
         if n > 1:
             return n
     return 0
+
+
+def _maybe_batcher(cfg: PipelineConfig, fuse: bool, h: int, w: int):
+    """The active mesh-DP batcher (parallel/batchrun.py), when this image's
+    chain dispatch is eligible to join it: fused host-exact path, no spatial
+    sharding requested, and no ``raster_device=cpu`` repin away from the
+    batcher's mesh platform."""
+    if not fuse:
+        return None
+    from ..parallel.batchrun import active_batcher  # noqa: PLC0415
+
+    b = active_batcher()
+    if b is None:
+        return None
+    if _resolve_shard_n(cfg, h, w) >= 1:
+        return None
+    if (
+        str(getattr(cfg, "raster_device", "auto")).lower() == "cpu"
+        and b.mesh.devices.flat[0].platform != "cpu"
+    ):
+        return None
+    return b
 
 
 def _swatch_mode(cfg: PipelineConfig, img: np.ndarray) -> None:
@@ -331,10 +389,25 @@ def run(cfg: PipelineConfig) -> None:
         counts0 = np.bincount(labels.ravel(), minlength=k).astype(np.int64)
         # raw one-hot masks cross the tunnel bit-packed (8 px/byte); the
         # 3×3 clean-up and any fused 03/04 work stay on device
-        with raster_device_ctx(cfg):
-            packed_raw = jnp.asarray(
-                np.stack([np.packbits(labels == kk, axis=-1) for kk in range(k)])
+        packed_np = np.stack([np.packbits(labels == kk, axis=-1) for kk in range(k)])
+        batcher = _maybe_batcher(cfg, fuse, h, w)
+        if batcher is not None:
+            # mesh-DP batch run: this image's chain dispatch joins its
+            # siblings in one shard_map over the data axis (byte-identical
+            # per image — parallel/batchrun.py)
+            blob = batcher.run_chain(
+                packed_np,
+                w,
+                (int(cfg.extract_open_iters), int(cfg.extract_close_iters))
+                + edge_params(cfg),
             )
+            masks_dev = None
+            packed = blob[: k * h * w8].reshape(k, h, w8)
+            chain_packed = blob[k * h * w8 :].reshape(2 * k, h, w8)
+            return _finish_kmeans(cfg, names, k, w, centers, counts0, packed,
+                                  chain_packed, masks_dev)
+        with raster_device_ctx(cfg):
+            packed_raw = jnp.asarray(packed_np)
             if fuse:
                 shard_n = _resolve_shard_n(cfg, h, w)
                 if shard_n >= 1:
@@ -375,6 +448,14 @@ def run(cfg: PipelineConfig) -> None:
         else:
             packed = np.asarray(packed_dev)
 
+    _finish_kmeans(cfg, names, k, w, centers, counts0, packed, chain_packed, masks_dev)
+
+
+def _finish_kmeans(cfg, names, k, w, centers, counts0, packed, chain_packed, masks_dev):
+    """Shared tail of every k-means variant: dark→light relabel, mask PNG
+    writes, chain/device artifact registration, palette JSON.  ``masks_dev``
+    may be None (mesh-DP batch path keeps no per-image device copy — stages
+    03/04 consume the registered chain blob instead)."""
     # relabel dark→light by the L channel (reference 02:120-127)
     order = np.argsort(centers[:, 0])
     counts = [int(c) for c in counts0[order]]
@@ -411,7 +492,8 @@ def run(cfg: PipelineConfig) -> None:
     for cluster_idx, name in enumerate(names_sorted[:k]):
         mask_path, nz = written[cluster_idx]
         # device-resident copy for stage 03 (identical values to the PNG)
-        register_device_artifact(mask_path, masks_dev[int(order[cluster_idx])])
+        if masks_dev is not None:
+            register_device_artifact(mask_path, masks_dev[int(order[cluster_idx])])
 
         # reference truncates: centers_lab[k].astype(np.uint8) → cv2 Lab2BGR
         # on the 1×1 uint8 image (02:58-61,159); int() below truncates too

@@ -1,0 +1,133 @@
+"""bench.py must ALWAYS emit one parseable JSON line (round-2 verdict #1).
+
+The driver captures ``python bench.py`` stdout; round 2's record was a bare
+traceback because one transient TPU FAILED_PRECONDITION at the first stage-02
+device fetch killed the whole run.  These tests inject that failure mode
+through bench.py's seams and assert the retry/backoff/fallback/JSON contract.
+No device work happens here — everything is stubbed.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+import bench  # noqa: E402
+
+
+class _FakeFailedPrecondition(RuntimeError):
+    pass
+
+
+@pytest.fixture(autouse=True)
+def _no_sleep(monkeypatch):
+    delays = []
+    monkeypatch.setattr(bench.time, "sleep", delays.append)
+    return delays
+
+
+def _run_e2e(capsys, runner, probe=lambda: 0.01):
+    def factory(device_init):
+        return runner, lambda: None, 0.786432  # 1024×768 Mpx
+
+    with pytest.raises(SystemExit) as ei:
+        bench.bench_e2e(runner_factory=factory, probe=probe)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, f"stdout must be exactly one line, got {out}"
+    return ei.value.code, json.loads(out[0])
+
+
+def test_first_dispatch_failure_is_retried(capsys, _no_sleep):
+    """The exact round-2 failure: first pipeline run dies mid-stage; the
+    retry succeeds and a normal metric line is emitted with rc 0."""
+    calls = {"n": 0}
+
+    def runner(tag):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise _FakeFailedPrecondition("TPU backend error (FailedPrecondition).")
+        return 1.0
+
+    rc, obj = _run_e2e(capsys, runner)
+    assert rc == 0
+    assert obj["metric"] == "e2e_image_to_stream_megapixels_per_sec"
+    assert obj["value"] == pytest.approx(0.7864, abs=1e-3)
+    assert obj["vs_baseline"] > 100
+    assert _no_sleep, "a backoff sleep must separate the retry"
+
+
+def test_timed_runs_fail_falls_back_to_warmup(capsys):
+    """Warmup completed but every timed run fails → emit the best COMPLETED
+    run (the warmup) rather than nothing."""
+
+    def runner(tag):
+        if tag != "warmup":
+            raise _FakeFailedPrecondition("tenant holds the chip")
+        return 2.0
+
+    rc, obj = _run_e2e(capsys, runner)
+    assert rc == 0
+    assert obj["value"] == pytest.approx(0.786432 / 2.0, abs=1e-3)
+
+
+def test_total_failure_emits_error_json(capsys):
+    def runner(tag):
+        raise _FakeFailedPrecondition("dead backend")
+
+    rc, obj = _run_e2e(capsys, runner)
+    assert rc == 1
+    assert obj["metric"] == "e2e_image_to_stream_megapixels_per_sec"
+    assert "dead backend" in obj["error"]
+
+
+def test_probe_failure_emits_error_json(capsys):
+    def probe():
+        raise _FakeFailedPrecondition("no route to chip")
+
+    rc, obj = _run_e2e(capsys, lambda tag: 1.0, probe=probe)
+    assert rc == 1
+    assert "probe failed" in obj["error"]
+
+
+def test_stage_sysexit_is_caught(capsys):
+    """A stage that calls sys.exit(1) (the pipeline's on_error="exit" path)
+    must not leak through as an unparsed crash."""
+    calls = {"n": 0}
+
+    def runner(tag):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise SystemExit(1)
+        return 1.0
+
+    rc, obj = _run_e2e(capsys, runner)
+    assert rc == 0
+    assert obj["value"] > 0
+
+
+def test_probe_retries_then_succeeds(monkeypatch, _no_sleep):
+    import numpy as np
+
+    calls = {"n": 0}
+
+    class _FakeJnp:
+        @staticmethod
+        def arange(n):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise _FakeFailedPrecondition("flap")
+            return np.arange(n)
+
+        @staticmethod
+        def sum(x):
+            return np.sum(x)
+
+    import jax
+
+    monkeypatch.setattr(jax, "numpy", _FakeJnp)
+    rtt = bench.probe_chip()
+    assert rtt >= 0.0
+    assert calls["n"] == 2

@@ -136,6 +136,24 @@ def test_native_available():
     assert cv_kmeans_native(data, 2, 40, 0.5, 1, 0xFFFFFFFF) is not None
 
 
+def test_nan_data_raises_not_oob():
+    """All-NaN data leaves every kmeans++ trial cost NaN: OpenCV raises
+    CV_Error; both our paths must raise RuntimeError instead of reading
+    data[-1] out of bounds (ADVICE r2 #3)."""
+    import os
+
+    from plotweave.ops.cvkmeans import _cv_kmeans_py
+
+    bad = np.full((64, 3), np.nan, np.float32)
+    with pytest.raises(RuntimeError):
+        _cv_kmeans_py(bad, 3, 40, 0.5, 3, 0xFFFFFFFF)
+    if not os.environ.get("PLOTWEAVE_NO_NATIVE") and cv_kmeans_native(
+        np.zeros((4, 3), np.float32), 2, 40, 0.5, 1, 0xFFFFFFFF
+    ):
+        with pytest.raises(RuntimeError):
+            cv_kmeans_native(bad, 3, 40, 0.5, 3, 0xFFFFFFFF)
+
+
 def test_maxcount_above_cv2_clamp():
     """cv2 clamps criteria.maxCount to min(max(mc,2),100); configs with
     kmeans_iters > 100 must keep byte parity (found by round-2 review)."""

@@ -56,6 +56,17 @@ def test_area_resize_fractional_fuzz_bit_exact():
         assert (got == ref).all(), (h, w, nh, nw)
 
 
+def test_area_resize_extreme_ratio_chunked_bit_exact():
+    """Ratios > ~15 take the chunked tap accumulation (bounded memory,
+    ADVICE r2 #4) — must stay bit-exact vs cv2, including the chunk-boundary
+    add ordering (44 taps = 3 groups of 16)."""
+    for h, w, nh, nw in [(1813, 397, 89, 97), (997, 211, 23, 11)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        ref = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_AREA)
+        got = np.asarray(area_resize(img, nw, nh))
+        assert (got == ref).all(), (h, w, nh, nw)
+
+
 def test_area_resize_4k_scale_bit_exact():
     img = rng.integers(0, 256, (540, 960, 3)).astype(np.uint8)  # 1.92 factor
     ref = cv2.resize(img, (500, 281), interpolation=cv2.INTER_AREA)

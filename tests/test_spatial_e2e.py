@@ -60,8 +60,15 @@ def test_fit_shard_rows():
     assert fit_shard_rows(24, 8, 8) == 3
     assert fit_shard_rows(12, 8, 8) == 1
     assert fit_shard_rows(4, 8, 8) == 1
+    # an outsized stencil radius raises the per-shard floor (ADVICE r2 #1:
+    # edge_morph_kernel > 17 used to hit an opaque broadcast error instead)
+    assert fit_shard_rows(64, 8, 8, max_radius=10) == 4  # needs ≥11 rows/shard
+    assert fit_shard_rows(256, 8, 8, max_radius=10) == 8  # 32 rows/shard is fine
+    assert fit_shard_rows(64, 8, 8, max_radius=3) == 8  # default kernels unchanged
+    assert fit_shard_rows(64, 8, 8, max_radius=63) == 1  # radius ≥ H → unsharded
 
 
+@pytest.mark.slow
 def test_sharded_pipeline_byte_identical(tmp_path):
     """Full pipeline with shard_rows=8 vs unsharded: every stage artifact and
     the stream byte-equal (the wiring test — registry handoffs, permutes,
@@ -81,6 +88,55 @@ def test_sharded_pipeline_byte_identical(tmp_path):
                 assert fa.read_bytes() == fb.read_bytes(), f"{name}/{f}"
     for f in ("palette_by_name.json", "vector_manifest.json"):
         assert (a / f).read_bytes() == (b / f).read_bytes(), f
+
+
+@pytest.mark.slow
+def test_sharded_pipeline_degenerate_divisor(tmp_path, capsys):
+    """251 rows is prime: --shard-rows 8 must fit down to the 1-shard
+    degenerate mesh and stay byte-identical (round-2 verdict #7)."""
+    rng = np.random.default_rng(3)
+    img_path = tmp_path / "img.png"
+    cv2.imwrite(str(img_path), _image(rng, 251, 180))
+
+    a = _run(tmp_path, img_path, "unsharded", 0)
+    b = _run(tmp_path, img_path, "sharded", 8)
+    out = capsys.readouterr().out
+    assert "row-sharded over 1 device(s)" in out
+    assert (a / "plot_stream.bin").read_bytes() == (b / "plot_stream.bin").read_bytes()
+
+
+@pytest.mark.slow
+def test_outsized_kernel_caps_shards(capsys):
+    """edge_morph_kernel=21 (stencil radius 10) must CAP the shard count to
+    keep ≥ radius+1 rows per shard instead of crashing at trace time with a
+    broadcast error (ADVICE r2 #1) — policy via _resolve_shard_n, behavior
+    via the sharded chain bit-compared against the unsharded program."""
+    from plotweave.config import PipelineConfig
+    from plotweave.parallel import make_mesh
+    from plotweave.parallel.spatial import sharded_clean_chain
+    from plotweave.stages.s02_color_extract import _clean_masks_chain, _resolve_shard_n
+
+    cfg = PipelineConfig(
+        shard_rows=8, edge_morph_kernel=21,
+        edge_morph_open_iters=1, edge_morph_close_iters=1,
+    )
+    # 64 rows / (radius 10 + 1) → at most 5 shards → largest divisor is 4
+    n = _resolve_shard_n(cfg, 64, 96)
+    assert n == 4
+    assert "stencil radius 10" in capsys.readouterr().out
+
+    rng = np.random.default_rng(4)
+    k, h, w = 4, 64, 96
+    labels = rng.integers(0, k, (h, w))
+    packed = np.ascontiguousarray(
+        np.stack([np.packbits(labels == i, axis=-1) for i in range(k)])
+    )
+    args = (w, 1, 1, 21, 1, 1, 7, 22, 70)  # mk=21: the outsized stencil
+    mesh = make_mesh((n,), ("space",))
+    blob_s, masks_s = sharded_clean_chain(mesh, packed, *args)
+    blob_1, masks_1 = _clean_masks_chain(packed, *args)
+    assert np.array_equal(np.asarray(blob_s), np.asarray(blob_1))
+    assert np.array_equal(np.asarray(masks_s), np.asarray(masks_1))
 
 
 @pytest.mark.parametrize("n_shards", [1, 4, 5])
