@@ -8,12 +8,22 @@ present on the line.  Comments: ``;`` to end of line and non-nested ``(...)``.
 The mm→step mapping applies mm-space scale/offset, then steps/mm, an
 optional Y flip around the canvas, rounding and clamping; consecutive
 duplicate step points are dropped (gcode2stream.py:79-110,317-339).
+
+Parsing is vectorized: one C-speed tokenization pass over the whole
+document, then numpy forward-fill/grouping for the per-line state machine —
+~10× the line-by-line parser on large documents.  Files using the rare
+stateful words (G91 relative, G20 inches) fall back to the exact Python
+state machine; both parsers are fuzz-pinned equal
+(tests/test_frontends.py::test_fast_parser_matches_exact).
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
 
 from ..stream import MotionProfile
 from ..stream.emitter import StreamEmitter
@@ -52,8 +62,133 @@ class _State:
     pen_down: bool = False
 
 
-def parse_polylines_mm(text: str) -> Tuple[List[List[PointMM]], int]:
-    """All pen-down polylines in mm + the pen-down move count."""
+def parse_polylines_mm(text: str):
+    """All pen-down polylines in mm + the pen-down move count.
+
+    Dispatches to the vectorized parser; documents using the rare stateful
+    words it does not model (G91 relative, G20 inches, literal nan/inf
+    coordinate values) take the exact line-by-line state machine.  Both
+    return the same geometry — polylines come back as (N, 2) float arrays
+    from the fast path and lists of (x, y) tuples from the exact path;
+    every consumer accepts either."""
+    fast = _parse_polylines_mm_fast(text)
+    if fast is not None:
+        return fast
+    return _parse_polylines_mm_py(text)
+
+
+# one whitespace-delimited chunk → (first char, rest): replicates the
+# reference's `tok[0], tok[1:]` split over `line.split()`
+_TOKEN_RE = re.compile(r"(?<!\S)(\S)(\S*)")
+# reference strip_comment: ';' first (whole tail), then chars inside
+# non-nested (...) dropped [unclosed ( drops the rest of the line], and
+# stray ')' dropped
+_SEMI_RE = re.compile(r";[^\n]*")
+_PAREN_RE = re.compile(r"\([^)\n]*\)?|\)")
+
+
+def _ffill(vals: np.ndarray, init: float) -> np.ndarray:
+    """Forward-fill NaNs (float64), seeding with ``init``."""
+    idx = np.arange(len(vals))
+    ok = ~np.isnan(vals)
+    last = np.maximum.accumulate(np.where(ok, idx, -1))
+    filled = np.where(last >= 0, vals[np.clip(last, 0, None)], init)
+    return filled
+
+
+def _parse_polylines_mm_fast(text: str):
+    """Vectorized absolute-mm parser; None → caller falls back to exact."""
+    low = text.lower()
+    if "nan" in low or "inf" in low:
+        return None  # float('nan')-class coordinate values: exact path only
+
+    body = _PAREN_RE.sub("", _SEMI_RE.sub("", text))
+    body = body.replace("\n", " \x00 ")
+    pairs = _TOKEN_RE.findall(body)
+    if not pairs:
+        return [], 0
+
+    def _f(s: str) -> float:
+        try:
+            return float(s)
+        except ValueError:
+            return np.nan
+
+    cmds = np.array([c for c, _ in pairs], dtype="U1")
+    vals = np.fromiter((_f(r) for _, r in pairs), np.float64, count=len(pairs))
+    line_id = np.cumsum(cmds == "\x00")
+    keep = cmds != "\x00"
+    cmds = np.char.upper(cmds[keep])
+    vals = vals[keep]
+    line_id = line_id[keep]
+    if not len(cmds):
+        return [], 0
+    n_lines = int(line_id[-1]) + 1
+
+    gv = vals[cmds == "G"]
+    gcodes = np.trunc(gv[~np.isnan(gv)]).astype(np.int64)
+    if np.isin(gcodes, (91, 20)).any():
+        return None  # relative moves / inch units: exact path only
+
+    def last_per_line(mask) -> np.ndarray:
+        out = np.full(n_lines, np.nan)
+        m = mask & ~np.isnan(vals)
+        out[line_id[m]] = vals[m]  # document order: later assignment wins
+        return out
+
+    x_line = last_per_line(cmds == "X")
+    y_line = last_per_line(cmds == "Y")
+    z_line = last_per_line(cmds == "Z")
+
+    # pen events per line: last relevant M (3/4 down, 5 up) wins over the
+    # Z ≤ 0 inference (the reference only infers when no M set pen)
+    evt = np.full(n_lines, -1, np.int8)
+    zl = ~np.isnan(z_line)
+    evt[zl] = (z_line[zl] <= 0.0).astype(np.int8)
+    m_mask = (cmds == "M") & ~np.isnan(vals)
+    m_codes = np.trunc(vals[m_mask]).astype(np.int64)
+    rel = np.isin(m_codes, (3, 4, 5))
+    m_lines = line_id[m_mask][rel]
+    evt[m_lines] = (m_codes[rel] != 5).astype(np.int8)
+
+    # pen state after each line's tokens (applies before that line's move)
+    pen = _ffill(np.where(evt >= 0, evt.astype(np.float64), np.nan), 0.0) > 0.5
+
+    move = ~np.isnan(x_line) | ~np.isnan(y_line)
+    if not move.any():
+        return [], 0
+    xs = _ffill(x_line[move], 0.0)
+    ys = _ffill(y_line[move], 0.0)
+    pd = pen[move]
+    pen_moves = int(pd.sum())
+    if pen_moves == 0:
+        return [], 0
+
+    # polyline grouping: a flush happens on each pen down→up transition, so
+    # the era index (count of such transitions) groups each cur polyline;
+    # the start vertex is the position before the group's first move
+    down_up = np.flatnonzero(pen[:-1] & ~pen[1:]) + 1
+    era = np.zeros(n_lines, np.int64)
+    np.add.at(era, down_up, 1)
+    era = np.cumsum(era)
+    ids = era[move][pd]
+
+    px = np.concatenate([[0.0], xs[:-1]])
+    py = np.concatenate([[0.0], ys[:-1]])
+    pts = np.stack([xs, ys], axis=1)[pd]
+    prev = np.stack([px, py], axis=1)[pd]
+    cuts = np.flatnonzero(np.diff(ids)) + 1
+    firsts = np.concatenate([[0], cuts])
+    paths = [
+        np.vstack([prev[f : f + 1], seg])
+        for f, seg in zip(firsts, np.split(pts, cuts))
+    ]
+    return paths, pen_moves
+
+
+def _parse_polylines_mm_py(text: str) -> Tuple[List[List[PointMM]], int]:
+    """Exact line-by-line state machine (the executable spec for the fast
+    parser; handles G91/G20)."""
     st = _State()
     paths: List[List[PointMM]] = []
     cur: List[PointMM] = []
@@ -140,50 +275,58 @@ def parse_polylines_mm(text: str) -> Tuple[List[List[PointMM]], int]:
 
 
 def mm_polylines_to_steps(
-    paths_mm: List[List[PointMM]],
+    paths_mm: Sequence,
     steps_per_mm: float,
     canvas_w: int,
     canvas_h: int,
     invert_y: bool,
     offset_mm: Tuple[float, float] = (0.0, 0.0),
     scale: Tuple[float, float] = (1.0, 1.0),
-) -> List[List[Point]]:
-    out: List[List[Point]] = []
+) -> List[np.ndarray]:
+    """mm → clamped integer steps with consecutive-duplicate dedup
+    (gcode2stream.py:79-110,317-339), vectorized per polyline.
+
+    Float semantics match the scalar reference exactly: the same float64
+    expression per coordinate (elementwise, no reassociation) and
+    round-half-even (np.rint == Python round on floats) before the clamp."""
+    out: List[np.ndarray] = []
     for poly in paths_mm:
         if len(poly) < 2:
             continue
-        steps: List[Point] = []
-        last: Optional[Point] = None
-        for x_mm, y_mm in poly:
-            xf = (x_mm * scale[0] + offset_mm[0]) * steps_per_mm
-            yf = (y_mm * scale[1] + offset_mm[1]) * steps_per_mm
-            if invert_y:
-                yf = (canvas_h - 1) - yf
-            xi = min(max(int(round(xf)), 0), canvas_w - 1)
-            yi = min(max(int(round(yf)), 0), canvas_h - 1)
-            if last != (xi, yi):
-                steps.append((xi, yi))
-                last = (xi, yi)
-        if len(steps) >= 2:
-            out.append(steps)
+        a = np.asarray(poly, dtype=np.float64)
+        xf = (a[:, 0] * scale[0] + offset_mm[0]) * steps_per_mm
+        yf = (a[:, 1] * scale[1] + offset_mm[1]) * steps_per_mm
+        if invert_y:
+            yf = (canvas_h - 1) - yf
+        xi = np.clip(np.rint(xf), 0, canvas_w - 1).astype(np.int64)
+        yi = np.clip(np.rint(yf), 0, canvas_h - 1).astype(np.int64)
+        keep = np.ones(len(xi), bool)
+        keep[1:] = (xi[1:] != xi[:-1]) | (yi[1:] != yi[:-1])
+        pts = np.stack([xi[keep], yi[keep]], axis=1)
+        if len(pts) >= 2:
+            out.append(pts)
     return out
 
 
-def order_nearest_l1(paths: List[List[Point]], start: Point = (0, 0)) -> List[List[Point]]:
+def order_nearest_l1(paths: List, start: Point = (0, 0)) -> List:
     """Greedy nearest-start ordering by L1 distance, no reversal
-    (gcode2stream.py:151-172)."""
+    (gcode2stream.py:151-172).  Vectorized inner scan: np.argmin's
+    first-min tie-break over the live list order equals the reference's
+    strict `d < best` scan over `remaining`, and pop() preserves that
+    order; distances are integers, so equality is exact."""
     remaining = [p for p in paths if len(p) >= 2]
-    out: List[List[Point]] = []
-    cur = start
-    while remaining:
-        best, bd = 0, 10**18
-        for i, p in enumerate(remaining):
-            d = abs(cur[0] - p[0][0]) + abs(cur[1] - p[0][1])
-            if d < bd:
-                bd, best = d, i
-        chosen = remaining.pop(best)
-        out.append(chosen)
-        cur = chosen[-1]
+    if not remaining:
+        return []
+    starts = np.array([[int(p[0][0]), int(p[0][1])] for p in remaining], np.int64)
+    ends = np.array([[int(p[-1][0]), int(p[-1][1])] for p in remaining], np.int64)
+    alive = list(range(len(remaining)))
+    out: List = []
+    cur = np.array(start, np.int64)
+    while alive:
+        d = np.abs(starts[alive] - cur).sum(axis=1)
+        i = alive.pop(int(np.argmin(d)))
+        out.append(remaining[i])
+        cur = ends[i]
     return out
 
 
@@ -204,12 +347,13 @@ def emit_stream(
     for path in paths:
         if len(path) < 2:
             continue
-        if pos != path[0]:
-            sb.travel(pos[0], pos[1], path[0][0], path[0][1], prof)
+        first = (int(path[0][0]), int(path[0][1]))
+        if pos != first:
+            sb.travel(pos[0], pos[1], first[0], first[1], prof)
         sb.pen_down()
         sb.polyline(path, prof)
         sb.pen_up()
-        pos = path[-1]
+        pos = (int(path[-1][0]), int(path[-1][1]))
     return sb.finish()
 
 

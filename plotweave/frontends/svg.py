@@ -8,8 +8,10 @@ and nested transforms.
 
 Curve sampling is batched: all cubic segments are stacked into one (N, 4, 2)
 control tensor and evaluated against a shared t-grid with a single Bernstein
-matmul — the "vectorized path sampling" path (runs through numpy by default,
-jax.numpy for very large documents).
+matmul — the "vectorized path sampling" path.  numpy float64 is the default
+(and the byte-contract path); ``--sampling-backend jax`` on the svg2gcode /
+svg2stream CLIs routes the matmuls through the default JAX device instead
+(float32 on TPU — geometry may differ in final ulps, documented opt-in).
 """
 
 from __future__ import annotations
@@ -78,15 +80,22 @@ def _samples_for(length_estimate: float, per_unit: float, lo: int = 8, hi: int =
 
 
 def sample_cubics_batched(ctrl: np.ndarray, n: int, xp=np) -> np.ndarray:
-    """(N, 4, 2) control points → (N, n, 2) points via one Bernstein matmul."""
-    t = xp.linspace(0.0, 1.0, n, dtype=xp.float64)[:, None]
+    """(N, 4, 2) control points → (N, n, 2) points via one Bernstein matmul.
+
+    ``xp=numpy`` (default) samples in float64 — the byte-contract path.
+    ``xp=jax.numpy`` runs the matmul on the default JAX device in the
+    backend's native dtype (float32 on TPU unless ``jax_enable_x64``)."""
+    dt = xp.float64 if xp is np else None
+    t = xp.linspace(0.0, 1.0, n, dtype=dt)[:, None]
     u = 1.0 - t
     B = xp.concatenate([u**3, 3 * u**2 * t, 3 * u * t**2, t**3], axis=1)  # (n, 4)
     return xp.einsum("nk,skc->snc", B, xp.asarray(ctrl))
 
 
 def sample_quads_batched(ctrl: np.ndarray, n: int, xp=np) -> np.ndarray:
-    t = xp.linspace(0.0, 1.0, n, dtype=xp.float64)[:, None]
+    """(N, 3, 2) quadratic controls → (N, n, 2); dtype contract as cubics."""
+    dt = xp.float64 if xp is np else None
+    t = xp.linspace(0.0, 1.0, n, dtype=dt)[:, None]
     u = 1.0 - t
     B = xp.concatenate([u**2, 2 * u * t, t**2], axis=1)
     return xp.einsum("nk,skc->snc", B, xp.asarray(ctrl))
@@ -137,7 +146,7 @@ def _arc_to_points(p0, rx, ry, rot_deg, large, sweep, p1, n) -> np.ndarray:
     return np.stack([xs, ys], axis=1)[1:]
 
 
-def parse_path_data(d: str, samples_per_unit: float = 0.5) -> List[np.ndarray]:
+def parse_path_data(d: str, samples_per_unit: float = 0.5, xp=np) -> List[np.ndarray]:
     """Path data → list of (N, 2) float64 subpaths (curves pre-collected and
     batch-sampled)."""
     tokens = _CMD_RE.split(d)
@@ -255,19 +264,21 @@ def parse_path_data(d: str, samples_per_unit: float = 0.5) -> List[np.ndarray]:
                 cur = start.copy()
             prev_cubic_c2 = prev_quad_c = None
 
-    # batch-sample all curves (shared t-grid sized by the longest curve)
+    # batch-sample all curves (shared t-grid sized by the longest curve);
+    # xp=jax.numpy routes the Bernstein matmuls through the device (opt-in,
+    # --sampling-backend jax — see sample_cubics_batched's dtype note)
     cub_pts = []
     if cubics:
         ctrl = np.stack(cubics)
         lens = np.linalg.norm(np.diff(ctrl, axis=1), axis=2).sum(axis=1)
         n = _samples_for(float(lens.max()), samples_per_unit)
-        cub_pts = sample_cubics_batched(ctrl, n)
+        cub_pts = np.asarray(sample_cubics_batched(ctrl, n, xp=xp))
     quad_pts = []
     if quads:
         ctrl = np.stack(quads)
         lens = np.linalg.norm(np.diff(ctrl, axis=1), axis=2).sum(axis=1)
         n = _samples_for(float(lens.max()), samples_per_unit)
-        quad_pts = sample_quads_batched(ctrl, n)
+        quad_pts = np.asarray(sample_quads_batched(ctrl, n, xp=xp))
 
     out: List[np.ndarray] = []
     for sp in subpaths:
@@ -296,8 +307,13 @@ def _local(tag: str) -> str:
     return tag.split("}")[-1]
 
 
-def svg_to_polylines(svg_text: str, samples_per_unit: float = 0.5) -> List[np.ndarray]:
-    """Parse an SVG document into transformed (N, 2) polylines (user units)."""
+def svg_to_polylines(svg_text: str, samples_per_unit: float = 0.5, xp=np) -> List[np.ndarray]:
+    """Parse an SVG document into transformed (N, 2) polylines (user units).
+
+    ``xp=jax.numpy`` runs the batched curve sampling on the default JAX
+    device (opt-in; float32 on TPU, so sampled geometry may differ in the
+    last ulps from the numpy float64 default — not part of the byte
+    contract)."""
     root = ET.fromstring(svg_text)
     out: List[np.ndarray] = []
 
@@ -306,7 +322,7 @@ def svg_to_polylines(svg_text: str, samples_per_unit: float = 0.5) -> List[np.nd
         tag = _local(el.tag)
         polys: List[np.ndarray] = []
         if tag == "path" and el.get("d"):
-            polys = parse_path_data(el.get("d"), samples_per_unit)
+            polys = parse_path_data(el.get("d"), samples_per_unit, xp=xp)
         elif tag == "line":
             polys = [np.array([[float(el.get("x1", 0)), float(el.get("y1", 0))],
                                [float(el.get("x2", 0)), float(el.get("y2", 0))]])]

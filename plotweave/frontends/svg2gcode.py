@@ -26,6 +26,14 @@ def build_argparser() -> argparse.ArgumentParser:
         default="bbox",
         help="fit by content bounding box (default) or by the document viewBox frame",
     )
+    ap.add_argument(
+        "--sampling-backend",
+        choices=["numpy", "jax"],
+        default="numpy",
+        help="curve-sampling backend: numpy float64 (default, byte-contract) "
+        "or the default JAX device (float32 on TPU; last-ulp geometry "
+        "differences possible)",
+    )
     return ap
 
 
@@ -37,8 +45,13 @@ def convert(
     samples_per_unit: float = 0.5,
     fit: bool = True,
     fit_mode: str = "bbox",
+    sampling_backend: str = "numpy",
 ) -> str:
-    polys = svg_to_polylines(svg_text, samples_per_unit)
+    if sampling_backend == "jax":
+        import jax.numpy as xp  # noqa: PLC0415
+    else:
+        import numpy as xp  # noqa: PLC0415
+    polys = svg_to_polylines(svg_text, samples_per_unit, xp=xp)
     if fit:
         vb = svg_viewbox(svg_text) if fit_mode == "viewbox" else None
         if fit_mode == "viewbox" and vb is not None:
@@ -63,6 +76,7 @@ def main(argv=None) -> None:
             args.samples_per_unit,
             fit=not args.no_fit,
             fit_mode=args.fit_mode,
+            sampling_backend=args.sampling_backend,
         )
     except ET.ParseError as e:
         print(f"error: {args.input} is not valid SVG/XML: {e}", file=sys.stderr)

@@ -30,11 +30,14 @@ def main(argv=None) -> None:
     ap.add_argument("--speed-scale", type=float, default=1.0)
     ap.add_argument("--no-reorder", action="store_true")
     ap.add_argument("--preview", help="render a PNG preview of the stream")
+    ap.add_argument("--sampling-backend", choices=["numpy", "jax"], default="numpy",
+                    help="curve-sampling backend (see svg2gcode --help)")
     args = ap.parse_args(argv)
 
     svg_text = Path(args.input).read_text(encoding="utf-8", errors="ignore")
     gcode = svg_to_gcode_text(
-        svg_text, args.page_width_mm, args.page_height_mm, args.margin_mm, args.samples_per_unit
+        svg_text, args.page_width_mm, args.page_height_mm, args.margin_mm,
+        args.samples_per_unit, sampling_backend=args.sampling_backend,
     )
     if args.gcode_out:
         Path(args.gcode_out).write_text(gcode, encoding="utf-8")

@@ -45,6 +45,106 @@ def test_gcode_parser_features():
     assert abs(paths[-1][0][0] - 177.8) < 1e-9
 
 
+def _fuzz_gcode(rng, allow_stateful=False) -> str:
+    """Random G-code exercising the parser's corners: comments (;, (...),
+    unclosed parens, stray )), Z pen inference, M3/M4/M5, multiple X per
+    line, lowercase words, garbage tokens, missing coords."""
+    lines = ["G90", "G21"] if rng.random() < 0.7 else []
+    pen_words = ["M3", "M4", "M5", "m3", "m5"]
+    for _ in range(int(rng.integers(20, 120))):
+        r = rng.random()
+        if r < 0.08:
+            lines.append(rng.choice(["; comment", "(note)", "G1 (mid) X3 Y4",
+                                     "X1 (unclosed Y9", "G1 X2 ) Y3"]))
+        elif r < 0.18:
+            lines.append(str(rng.choice(pen_words)))
+        elif r < 0.26:
+            lines.append(f"G1 Z{rng.uniform(-2, 2):.2f}")
+        elif r < 0.30:
+            lines.append(rng.choice(["FOO", "G", "X", "Xabc Y2", "M X1"]))
+        elif allow_stateful and r < 0.36:
+            lines.append(rng.choice(["G91", "G90", "G20", "G21"]))
+        else:
+            parts = ["G1" if rng.random() < 0.5 else "g0"]
+            if rng.random() < 0.9:
+                parts.append(f"X{rng.uniform(-20, 220):.3f}")
+            if rng.random() < 0.9:
+                parts.append(f"Y{rng.uniform(-20, 300):.3f}")
+            if rng.random() < 0.15:
+                parts.append(f"X{rng.uniform(0, 50):.3f}")  # later X wins
+            if rng.random() < 0.1:
+                parts.append(f"Z{rng.uniform(-1, 1):.2f}")
+            if rng.random() < 0.1:
+                parts.append("F1200")
+            lines.append(" ".join(parts))
+    return "\n".join(lines)
+
+
+def test_fast_parser_matches_exact():
+    """The vectorized parser must reproduce the exact state machine's
+    geometry and move count on documents inside its dialect, and DISPATCH
+    to the exact parser on G91/G20 documents."""
+    from plotweave.frontends.gcode import (
+        _parse_polylines_mm_fast,
+        _parse_polylines_mm_py,
+    )
+
+    rng = np.random.default_rng(7)
+    n_fast = 0
+    for trial in range(60):
+        text = _fuzz_gcode(rng, allow_stateful=(trial % 3 == 2))
+        exact_paths, exact_moves = _parse_polylines_mm_py(text)
+        fast = _parse_polylines_mm_fast(text)
+        if fast is None:
+            # fallback only for the stateful words the fast path excludes
+            assert ("91" in text) or ("20" in text and "G20" in text.upper()), text
+            continue
+        n_fast += 1
+        fast_paths, fast_moves = fast
+        assert fast_moves == exact_moves, text
+        assert len(fast_paths) == len(exact_paths), text
+        for fp, ep in zip(fast_paths, exact_paths):
+            assert np.array_equal(np.asarray(fp), np.asarray(ep, dtype=np.float64)), text
+    assert n_fast >= 30  # the fast path must actually be exercised
+
+
+def test_fast_parser_stream_bytes_match_exact():
+    """Full gcode→stream bytes through the fast parser == through the exact
+    parser (covers mm→steps + ordering + emission over array inputs)."""
+    from plotweave.frontends import gcode as G
+
+    rng = np.random.default_rng(11)
+    text = _fuzz_gcode(rng)
+    prof = MotionProfile(invert_y=True)
+    fast_bytes, info = G.gcode_to_stream(text, invert_y=True, profile=prof)
+
+    paths_mm, _ = G._parse_polylines_mm_py(text)
+    w = int(round(G.A4_W_MM * 40.0))
+    h = int(round(G.A4_H_MM * 40.0))
+    steps = G.mm_polylines_to_steps(paths_mm, 40.0, w, h, True)
+    data = G.emit_stream(G.order_nearest_l1(steps, (0, 0)), prof, 3)
+    assert fast_bytes == data and len(fast_bytes) % 1024 == 0
+
+
+def test_svg_sampling_backend_jax():
+    """--sampling-backend jax routes the Bernstein matmuls through the JAX
+    device: same polyline structure, float32-tolerance geometry (the
+    documented opt-in divergence; numpy float64 stays the byte contract)."""
+    import jax.numpy as jnp
+
+    svg = (
+        '<svg xmlns="http://www.w3.org/2000/svg" width="100" height="100">'
+        '<path d="M 5 5 C 10 40, 60 40, 80 10 Q 90 0, 95 30 T 99 60"/>'
+        '<circle cx="50" cy="50" r="20"/></svg>'
+    )
+    a = svg_to_polylines(svg)
+    b = svg_to_polylines(svg, xp=jnp)
+    assert len(a) == len(b)
+    for pa, pb in zip(a, b):
+        assert pa.shape == pb.shape
+        assert np.allclose(pa, pb, rtol=1e-4, atol=1e-3)
+
+
 def test_svg_path_grammar():
     # closed triangle: Z returns to start
     tri = parse_path_data("M 0 0 L 10 0 L 10 10 Z")[0]
