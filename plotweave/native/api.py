@@ -90,6 +90,11 @@ class NativeStreamBuilder:
         return out[:n].tobytes()
 
 
+# adaptive pw_trace output-capacity factor (points per foreground pixel);
+# raised after any overflow so sibling layers avoid the dry-count walk
+_TRACE_CAP_FACTOR = 16
+
+
 def trace_skeleton_native(
     skel: np.ndarray, labeler=None
 ) -> Optional[List[np.ndarray]]:
@@ -122,11 +127,17 @@ def trace_skeleton_native(
         deg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     # cycle walks may legitimately revisit pixels (guarded at 4× per walk,
-    # reference semantics), so total output can far exceed fg: grow on demand
-    cap_pts = fg * 16 + 64
+    # reference semantics), so total output can far exceed fg.  On overflow
+    # pw_trace dry-counts the rest and returns -(points needed): exactly one
+    # re-walk with the right capacity (spin-heavy posters used to pay 2-3
+    # geometric blind retries here).  The capacity factor adapts upward
+    # across calls — sibling layers of a spin-heavy poster then size right
+    # on their first walk.
+    global _TRACE_CAP_FACTOR
+    cap_pts = fg * _TRACE_CAP_FACTOR + 64
+    cap_paths = max(fg + 16, cap_pts // 2)
     n = -1
-    for _ in range(6):
-        cap_paths = max(fg + 16, cap_pts // 2)
+    for _ in range(2):
         out_xy = np.empty((cap_pts, 2), dtype=np.int32)
         out_lens = np.empty(cap_paths, dtype=np.int32)
         n = lib.pw_trace(
@@ -142,14 +153,17 @@ def trace_skeleton_native(
         )
         if n >= 0:
             break
-        cap_pts *= 4
+        cap_pts = -n + 8
+        cap_paths = cap_pts  # npaths ≤ npts/2 — always covered
+        _TRACE_CAP_FACTOR = min(256, max(_TRACE_CAP_FACTOR, cap_pts // max(1, fg) + 1))
     if n < 0:
         return None  # pathological: fall back to the Python tracer
-    # one compaction copy, then disjoint views into it (no per-path copies)
+    # disjoint views into the walk buffer (no compaction copy: the buffer is
+    # near-exactly sized after an overflow retry, and a large memcpy costs
+    # real page-fault time on this host)
     lens = out_lens[:n].astype(np.int64, copy=False)
     offs = np.concatenate([[0], np.cumsum(lens)])
-    buf = out_xy[: offs[-1]].copy()
-    return [buf[offs[i] : offs[i + 1]].reshape(-1, 1, 2) for i in range(n)]
+    return [out_xy[offs[i] : offs[i + 1]].reshape(-1, 1, 2) for i in range(n)]
 
 
 class LineStampTable:

@@ -278,7 +278,10 @@ void pw_travel(void* wv, int x0, int y0, int x1, int y1, const PwProfile* p) {
 // Walk a labeled 1-px skeleton into polylines, reproducing the Python
 // tracer's traversal exactly (probe order, endpoint-first then cycles).
 // Outputs (x,y) pairs into out_xy with per-path lengths in out_lens.
-// Returns number of paths, or -1 if capacity exceeded.
+// Returns number of paths; if capacity was insufficient, the walk COMPLETES
+// as a dry count and returns -(total points needed), so the caller can
+// reallocate exactly once instead of geometric blind retries (cycle walks
+// may revisit pixels up to the 4x guard, so output can far exceed fg).
 int64_t pw_trace(const int32_t* labels, const uint8_t* degree,
                  int h, int w, int ncomp,
                  int32_t* out_xy, int64_t cap_pts,
@@ -294,6 +297,17 @@ int64_t pw_trace(const int32_t* labels, const uint8_t* degree,
         if (labels[i] > 0 && labels[i] < ncomp) comp_pix[labels[i]].push_back(i);
 
     int64_t npaths = 0, npts = 0;
+    bool over = false;
+    auto put_pt = [&](int x, int y) {
+        if (npts < cap_pts) { out_xy[2 * npts] = x; out_xy[2 * npts + 1] = y; }
+        else over = true;
+        npts++;
+    };
+    auto put_len = [&](int64_t len) {
+        if (npaths < cap_paths) out_lens[npaths] = (int32_t)len;
+        else over = true;
+        npaths++;
+    };
 
     for (int comp = 1; comp < ncomp; comp++) {
         const std::vector<int>& pix = comp_pix[comp];
@@ -329,15 +343,13 @@ int64_t pw_trace(const int32_t* labels, const uint8_t* degree,
             if (degree[i] != 1 || visited[i] == comp) continue;
             int px = i % w, py = i / w;
             int64_t start_pts = npts;
-            if (npts + 1 > cap_pts) return -1;
-            out_xy[2 * npts] = px; out_xy[2 * npts + 1] = py; npts++;
+            put_pt(px, py);
             visited[i] = comp;
             int prevx = 0, prevy = 0; bool has_prev = false;
             while (true) {
                 int nx, ny;
                 if (!first_step(px, py, prevx, prevy, has_prev, nx, ny)) break;
-                if (npts + 1 > cap_pts) return -1;
-                out_xy[2 * npts] = nx; out_xy[2 * npts + 1] = ny; npts++;
+                put_pt(nx, ny);
                 visited[ny * w + nx] = comp;
                 prevx = px; prevy = py; has_prev = true;
                 px = nx; py = ny;
@@ -346,8 +358,7 @@ int64_t pw_trace(const int32_t* labels, const uint8_t* degree,
             }
             int64_t len = npts - start_pts;
             if (len >= 2) {
-                if (npaths + 1 > cap_paths) return -1;
-                out_lens[npaths++] = (int32_t)len;
+                put_len(len);
             } else {
                 npts = start_pts;  // discard single points
             }
@@ -360,8 +371,7 @@ int64_t pw_trace(const int32_t* labels, const uint8_t* degree,
             int sx = i % w, sy = i / w;
             int px = sx, py = sy;
             int64_t start_pts = npts;
-            if (npts + 1 > cap_pts) return -1;
-            out_xy[2 * npts] = px; out_xy[2 * npts + 1] = py; npts++;
+            put_pt(px, py);
             visited[i] = comp;
             int prevx = 0, prevy = 0; bool has_prev = false;
             long long guard = 0;
@@ -370,8 +380,7 @@ int64_t pw_trace(const int32_t* labels, const uint8_t* degree,
                 if (!first_step(px, py, prevx, prevy, has_prev, nx, ny)) {
                     if (!any_step(px, py, prevx, prevy, has_prev, nx, ny)) break;
                 }
-                if (npts + 1 > cap_pts) return -1;
-                out_xy[2 * npts] = nx; out_xy[2 * npts + 1] = ny; npts++;
+                put_pt(nx, ny);
                 if (visited[ny * w + nx] != comp) visited[ny * w + nx] = comp;
                 prevx = px; prevy = py; has_prev = true;
                 px = nx; py = ny;
@@ -380,22 +389,20 @@ int64_t pw_trace(const int32_t* labels, const uint8_t* degree,
             }
             int64_t len = npts - start_pts;
             if (len >= 2) {
-                // close the loop if endpoints meet within 1.5 px
-                double ddx = out_xy[2 * start_pts] - out_xy[2 * (npts - 1)];
-                double ddy = out_xy[2 * start_pts + 1] - out_xy[2 * (npts - 1) + 1];
+                // close the loop if endpoints meet within 1.5 px; (px, py)
+                // is the last appended point (buffer may be dry past cap)
+                double ddx = (double)sx - px, ddy = (double)sy - py;
                 if (std::hypot(ddx, ddy) < 1.5) {
-                    if (npts + 1 > cap_pts) return -1;
-                    out_xy[2 * npts] = out_xy[2 * start_pts];
-                    out_xy[2 * npts + 1] = out_xy[2 * start_pts + 1];
-                    npts++; len++;
+                    put_pt(sx, sy);
+                    len++;
                 }
-                if (npaths + 1 > cap_paths) return -1;
-                out_lens[npaths++] = (int32_t)len;
+                put_len(len);
             } else {
                 npts = start_pts;
             }
         }
     }
+    if (over) return npts > 0 ? -npts : -1;
     return npaths;
 }
 

@@ -31,7 +31,17 @@ from typing import Dict, List, Optional, Tuple
 import cv2
 import numpy as np
 
-from .geometry import as_pts, bbox, ensure_open, perimeter_open, rdp_simplify, resample_arclen, split_on_jumps
+from .geometry import (
+    as_pts,
+    batch_bbox,
+    batch_perimeter_open,
+    bbox,
+    ensure_open,
+    perimeter_open,
+    rdp_simplify,
+    resample_arclen,
+    split_on_jumps,
+)
 from .sort import reorder_intra
 
 Tap = Tuple[int, int]
@@ -101,14 +111,27 @@ def classify_taps(
     """
     kept: List[np.ndarray] = []
     taps: List[Tap] = []
-    for c in polys:
-        p = as_pts(c)
+    # batched prep: bboxes in one integer pass; float32 perimeters only for
+    # the tiny-bbox candidates (bit-identical to the scalar helpers — see
+    # geometry.py's batch_* notes).  Contours here are int32 pixel coords,
+    # so the int bbox cast is exact.
+    ptss = [as_pts(c) for c in polys]
+    boxes = batch_bbox(ptss)
+    dmax = np.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]).astype(float)
+    cand = [
+        i
+        for i, p in enumerate(ptss)
+        if p.shape[0] >= 2 and dmax[i] <= tap_diam and dmax[i] <= tap_max_dim
+    ]
+    perims = batch_perimeter_open([ptss[i] for i in cand])
+    perim_of = dict(zip(cand, perims))
+    for i, c in enumerate(polys):
+        p = ptss[i]
         if p.shape[0] < 2:
             continue
-        x0, y0, x1, y1 = bbox(c)
-        d = float(max(x1 - x0, y1 - y0))
+        d = float(dmax[i])
         if d <= tap_diam and d <= tap_max_dim:
-            if perimeter_open(c) <= tap_max_perimeter and int(p.shape[0]) <= tap_max_vertices:
+            if perim_of[i] <= tap_max_perimeter and int(p.shape[0]) <= tap_max_vertices:
                 (x, y), _ = cv2.minEnclosingCircle(p.reshape(-1, 1, 2).astype(np.float32))
                 taps.append((int(round(x)), int(round(y))))
                 continue

@@ -69,6 +69,121 @@ def bbox(poly: np.ndarray) -> Tuple[int, int, int, int]:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batched per-contour geometry over ONE concatenated array.  8k+ contours ×
+# tiny numpy calls dominate stages 07/08 at poster scale; these helpers hoist
+# the elementwise math into one pass while preserving the exact float
+# semantics of the scalar functions above:
+#  - batch_arc_length totals via np.add.reduceat = SEQUENTIAL accumulation,
+#    exactly arc_length's cumsum[-1] (an appended +0.0 boundary term is a
+#    no-op for non-negative partials);
+#  - batch_perimeter_open sums each contour's SLICE of the big float32
+#    norm array with np.sum — numpy's pairwise summation depends only on the
+#    slice length and contiguity, so it equals perimeter_open bit-for-bit;
+#  - batch_bbox is integer min/max (order-free, trivially exact).
+
+
+def _concat_pts(ptss: List[np.ndarray], dtype) -> Tuple[np.ndarray, np.ndarray]:
+    """(concatenated (sum N, 2) array, offsets (k+1,)) for non-empty ptss."""
+    lens = np.fromiter((len(p) for p in ptss), np.int64, count=len(ptss))
+    offs = np.zeros(len(ptss) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    big = np.concatenate([np.asarray(p).reshape(-1, 2) for p in ptss]).astype(dtype)
+    return big, offs
+
+
+# cap per-chunk concatenation size: poster-scale contour sets run to
+# 10M+ points, and one giant fresh allocation pays seconds of first-touch
+# page faults on this host — bounded chunks keep the allocator arena warm.
+# Chunks split at contour boundaries, so per-contour results are unchanged.
+_CHUNK_PTS = 1_000_000
+
+
+def _chunk_ranges(ptss: List[np.ndarray], max_pts: int = _CHUNK_PTS):
+    """Yield (lo, hi) contour-index ranges whose total points ≤ max_pts
+    (a single over-large contour gets its own range)."""
+    lo, tot = 0, 0
+    for i, p in enumerate(ptss):
+        n = len(p)
+        if tot and tot + n > max_pts:
+            yield lo, i
+            lo, tot = i, 0
+        tot += n
+    if lo < len(ptss):
+        yield lo, len(ptss)
+
+
+def batch_arc_length(ptss: List[np.ndarray], closed: np.ndarray) -> np.ndarray:
+    """arc_length() per contour (float64); ``closed`` adds the closing seg."""
+    if not ptss:
+        return np.zeros(0)
+    closed = np.asarray(closed, bool)
+    if len(ptss) and sum(len(p) for p in ptss) > _CHUNK_PTS:
+        out = np.zeros(len(ptss))
+        for lo, hi in _chunk_ranges(ptss):
+            out[lo:hi] = batch_arc_length(ptss[lo:hi], closed[lo:hi])
+        return out
+    big, offs = _concat_pts(ptss, np.float64)
+    d = big[1:] - big[:-1]
+    seg = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
+    # rows crossing contour boundaries (and a pad for reduceat's tail) are
+    # zeroed: one extra sequential +0.0 — exact for these non-negative sums
+    seg = np.concatenate([seg, [0.0]])
+    seg[offs[1:-1] - 1] = 0.0
+    starts = np.minimum(offs[:-1], len(seg) - 1)
+    totals = np.add.reduceat(seg, starts)
+    short = (offs[1:] - offs[:-1]) < 2
+    totals[short] = 0.0
+    dx = big[offs[:-1], 0] - big[np.maximum(offs[1:] - 1, offs[:-1]), 0]
+    dy = big[offs[:-1], 1] - big[np.maximum(offs[1:] - 1, offs[:-1]), 1]
+    closing = np.sqrt(dx * dx + dy * dy)
+    cl = np.asarray(closed, bool) & ~short
+    totals[cl] = totals[cl] + closing[cl]
+    return totals
+
+
+def batch_perimeter_open(ptss: List[np.ndarray]) -> np.ndarray:
+    """perimeter_open() per contour: float32 norms, pairwise slice sums."""
+    if not ptss:
+        return np.zeros(0, np.float32)
+    if sum(len(p) for p in ptss) > _CHUNK_PTS:
+        out = np.zeros(len(ptss), np.float32)
+        for lo, hi in _chunk_ranges(ptss):
+            out[lo:hi] = batch_perimeter_open(ptss[lo:hi])
+        return out
+    big, offs = _concat_pts(ptss, np.float32)
+    d = big[1:] - big[:-1]
+    # same elementwise machinery as np.linalg.norm(d, axis=1)
+    norms = np.sqrt(np.add.reduce(np.abs(d) ** 2, axis=1))
+    out = np.zeros(len(ptss), np.float32)
+    for i in range(len(ptss)):
+        a, b = offs[i], offs[i + 1] - 1
+        if b > a:
+            out[i] = norms[a:b].sum()
+    return out
+
+
+def batch_bbox(ptss: List[np.ndarray]) -> np.ndarray:
+    """bbox() per contour as an (k, 4) int array (x0, y0, x1, y1).
+    Integer-coordinate contours only (the cast truncates floats)."""
+    if not ptss:
+        return np.zeros((0, 4), np.int64)
+    if sum(len(p) for p in ptss) > _CHUNK_PTS:
+        out = np.zeros((len(ptss), 4), np.int64)
+        for lo, hi in _chunk_ranges(ptss):
+            out[lo:hi] = batch_bbox(ptss[lo:hi])
+        return out
+    big, offs = _concat_pts(ptss, np.int64)
+    starts = np.minimum(offs[:-1], max(0, len(big) - 1))
+    mins = np.minimum.reduceat(big, starts, axis=0)
+    maxs = np.maximum.reduceat(big, starts, axis=0)
+    empty = offs[1:] == offs[:-1]
+    if empty.any():
+        mins[empty] = 0
+        maxs[empty] = 0
+    return np.concatenate([mins, maxs], axis=1)
+
+
 def resample_arclen(pts: np.ndarray, step: float) -> np.ndarray:
     """Uniform arc-length resampling (08:53-64): closing vertex dropped,
     short polylines returned unchanged, samples at t = 0, step, 2·step …"""

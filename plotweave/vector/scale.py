@@ -31,14 +31,25 @@ def fit_scale(
 
 
 def scale_polys(polys: List[np.ndarray], sx: float, sy: float, dx: float, dy: float) -> List[np.ndarray]:
-    """float32 (pts @ diag(sx,sy)) + (dx,dy), truncated to int32 (05:82-96)."""
+    """float32 (pts @ diag(sx,sy)) + (dx,dy), truncated to int32 (05:82-96).
+
+    Computed over ONE concatenated array: the affine math is elementwise per
+    point (the 2×2 matmul is two muls + one add per coordinate, evaluated
+    row-independently), so batching is bit-identical to the per-contour
+    loop."""
     out: List[np.ndarray] = []
     if not polys:
         return out
+    from .geometry import _chunk_ranges  # noqa: PLC0415
+
     S = np.array([[sx, 0.0], [0.0, sy]], dtype=np.float32)
     T = np.array([dx, dy], dtype=np.float32)
-    for p in polys:
-        pts = p.reshape(-1, 2).astype(np.float32)
-        pts = (pts @ S.T) + T
-        out.append(pts.reshape(-1, 1, 2).astype(np.int32))
+    for lo, hi in _chunk_ranges([p.reshape(-1, 2) for p in polys]):
+        group = [p.reshape(-1, 2) for p in polys[lo:hi]]
+        lens = np.fromiter((g.shape[0] for g in group), np.int64, count=len(group))
+        offs = np.zeros(len(group) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        big = np.concatenate(group).astype(np.float32)
+        big = ((big @ S.T) + T).astype(np.int32)
+        out.extend(big[offs[i] : offs[i + 1]].reshape(-1, 1, 2) for i in range(len(group)))
     return out

@@ -20,7 +20,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from .geometry import arc_length, as_pts, perimeter_open
+from .geometry import arc_length, as_pts, batch_arc_length, batch_perimeter_open, perimeter_open
 
 
 def _endpoints(poly: np.ndarray, strip_closed: bool) -> Tuple[np.ndarray, np.ndarray, bool]:
@@ -29,6 +29,26 @@ def _endpoints(poly: np.ndarray, strip_closed: bool) -> Tuple[np.ndarray, np.nda
     if strip_closed and closed:
         pts = pts[:-1]
     return pts[0], pts[-1], closed
+
+
+def _batch_endpoints(ptss, strip_closed: bool):
+    """(starts (k,2), ends (k,2), closed (k,)) in ONE pass — the per-contour
+    _endpoints() semantics (closed = first==last and len>1; closed contours
+    strip the duplicate closing vertex, so their end is pts[-2])."""
+    closed = np.fromiter(
+        (
+            len(p) > 1 and bool(p[0, 0] == p[-1, 0]) and bool(p[0, 1] == p[-1, 1])
+            for p in ptss
+        ),
+        bool,
+        count=len(ptss),
+    )
+    starts = np.stack([p[0] for p in ptss])
+    if strip_closed:
+        ends = np.stack([p[-2] if (c and len(p) > 1) else p[-1] for p, c in zip(ptss, closed)])
+    else:
+        ends = np.stack([p[-1] for p in ptss])
+    return starts, ends, closed
 
 
 def _greedy_order_native(starts, ends, closed, closed_aware, seed):
@@ -66,11 +86,17 @@ def greedy_order(
     lengths: Sequence[float],
     closed: Sequence[bool],
     closed_aware: bool,
+    starts: np.ndarray = None,
+    ends: np.ndarray = None,
 ) -> Tuple[List[int], List[bool]]:
-    """Return (order, flips) of the greedy nearest-endpoint tour."""
+    """Return (order, flips) of the greedy nearest-endpoint tour.
+
+    ``starts``/``ends`` may be precomputed (the _batch_endpoints fast path);
+    when omitted they are derived per contour exactly as before."""
     n = len(polys)
-    starts = np.array([_endpoints(c, closed_aware)[0] for c in polys])
-    ends = np.array([_endpoints(c, closed_aware)[1] for c in polys])
+    if starts is None or ends is None:
+        starts = np.array([_endpoints(c, closed_aware)[0] for c in polys])
+        ends = np.array([_endpoints(c, closed_aware)[1] for c in polys])
 
     cur = int(np.argmax(lengths))
 
@@ -126,9 +152,11 @@ def sort_contours(polys: List[np.ndarray]) -> List[np.ndarray]:
     """Stage-07 ordering: closed-aware, seeded on closed arc length."""
     if not polys:
         return []
-    closed = [(_endpoints(c, True))[2] for c in polys]
-    lengths = [arc_length(c, True) for c in polys]
-    order, flips = greedy_order(polys, lengths, closed, closed_aware=True)
+    ptss = [as_pts(c) for c in polys]
+    starts, ends, closed = _batch_endpoints(ptss, strip_closed=True)
+    lengths = batch_arc_length(ptss, np.ones(len(ptss), bool))
+    order, flips = greedy_order(polys, lengths, closed, closed_aware=True,
+                                starts=starts, ends=ends)
     return apply_order(polys, order, flips, reclose=True)
 
 
@@ -136,8 +164,11 @@ def reorder_intra(polys: List[np.ndarray]) -> List[np.ndarray]:
     """Stage-08 post-dedup reorder: open float32 perimeter seed."""
     if not polys:
         return []
-    lengths = [perimeter_open(c) for c in polys]
-    order, flips = greedy_order(polys, lengths, [False] * len(polys), closed_aware=False)
+    ptss = [as_pts(c) for c in polys]
+    starts, ends, _ = _batch_endpoints(ptss, strip_closed=False)
+    lengths = batch_perimeter_open(ptss)
+    order, flips = greedy_order(polys, lengths, [False] * len(polys),
+                                closed_aware=False, starts=starts, ends=ends)
     return apply_order(polys, order, flips, reclose=False)
 
 
@@ -145,6 +176,9 @@ def reorder_cross(polys: List[np.ndarray]) -> List[np.ndarray]:
     """Stage-10 reorder: open double arc-length seed."""
     if not polys:
         return []
-    lengths = [arc_length(c, False) for c in polys]
-    order, flips = greedy_order(polys, lengths, [False] * len(polys), closed_aware=False)
+    ptss = [as_pts(c) for c in polys]
+    starts, ends, _ = _batch_endpoints(ptss, strip_closed=False)
+    lengths = batch_arc_length(ptss, np.zeros(len(ptss), bool))
+    order, flips = greedy_order(polys, lengths, [False] * len(polys),
+                                closed_aware=False, starts=starts, ends=ends)
     return apply_order(polys, order, flips, reclose=False)

@@ -18,6 +18,77 @@ from ..vector.geometry import as_pts
 BGR = Tuple[int, int, int]
 
 
+# polylines at least this long are probed for a repeating vertex period —
+# the reference's cycle walks can respin a tiny loop thousands of times
+# (04_find_contours.py:174-205 closing-step walk under the 4×fg guard), so
+# poster-scale layers carry millions of byte-mandated duplicate segments
+_PERIODIC_MIN = 4096
+
+
+def _find_period(pts: np.ndarray):
+    """(s, T, k) when pts contains ≥3 exact repeats of a T-vertex block
+    starting at s (k = full periods usable for segment-exact elision)."""
+    n = len(pts)
+    j0 = n // 2
+    if j0 + 2 >= n:
+        return None
+    hits = np.flatnonzero(
+        (pts[j0 + 1 : n - 1] == pts[j0]).all(axis=1)
+        & (pts[j0 + 2 : n] == pts[j0 + 1]).all(axis=1)
+    )
+    for d in hits[:8]:
+        T = int(d) + 1
+        eq = (pts[T:] == pts[:-T]).all(axis=1)  # eq[i]: pts[i+T] == pts[i]
+        if j0 >= len(eq) or not eq[j0]:
+            continue
+        falses = np.flatnonzero(~eq)
+        before = falses[falses < j0]
+        after = falses[falses > j0]
+        s = int(before.max()) + 1 if len(before) else 0
+        e = int(after.min()) if len(after) else len(eq)
+        # pass m (1-based) reuses vertices up to s+(m+1)·T; the equality
+        # chain pts[i+T]==pts[i] holds for i ∈ [s, e), so the last reusable
+        # vertex is e+T-1 → k ≤ (e-s-1)//T + 1; and every pass's vertices
+        # must exist → k ≤ (n-1-s)//T
+        k = min((e - s - 1) // T + 1, (n - 1 - s) // T)
+        if k >= 3:
+            return s, T, k
+    return None
+
+
+def _draw_polyline_periodic(img, pts: np.ndarray, color, thickness: int, lt) -> bool:
+    """Draw a long spun polyline with fixpoint elision; False → caller draws
+    it plainly.
+
+    The segment sequence is split into prefix (through the first full
+    period), k-1 repeat passes (pixel-identical segment lists, drawn in the
+    original order), and the tail.  AA blending is a deterministic
+    canvas→canvas map, so once one pass leaves its region unchanged every
+    remaining identical pass is a no-op — elision is byte-exact, not an
+    approximation (fuzz-pinned: tests/test_previews_periodic.py)."""
+    found = _find_period(pts)
+    if found is None:
+        return False
+    s, T, k = found
+    period = pts[s : s + T + 1].reshape(-1, 1, 2)
+    # region the repeat passes can touch, with stamp margin
+    x0, y0 = period.reshape(-1, 2).min(axis=0) - (thickness + 3)
+    x1, y1 = period.reshape(-1, 2).max(axis=0) + (thickness + 4)
+    h, w = img.shape[:2]
+    x0, y0 = max(0, int(x0)), max(0, int(y0))
+    x1, y1 = min(w, int(x1)), min(h, int(y1))
+    cv2.polylines(img, [pts[: s + T + 1].reshape(-1, 1, 2)], False, color, thickness, lt)
+    for _ in range(k - 1):
+        before = img[y0:y1, x0:x1].copy()
+        cv2.polylines(img, [period], False, color, thickness, lt)
+        if (img[y0:y1, x0:x1] == before).all():
+            break  # fixpoint: every further identical pass is a no-op
+    tail = pts[s + k * T :]
+    if len(tail) >= 2:
+        cv2.polylines(img, [tail.reshape(-1, 1, 2)], False, color, thickness, lt)
+    return True
+
+
 def render_layer(
     size_wh: Tuple[int, int],
     lines: List[np.ndarray],
@@ -31,17 +102,29 @@ def render_layer(
     w, h = size_wh
     img = np.full((h, w, 3), 255, np.uint8)
     lt = cv2.LINE_AA if antialiased else cv2.LINE_8
-    # one cv2 call for all polylines (each is still drawn independently, in
-    # order — identical pixels to per-contour calls, ~100× fewer crossings)
-    arrs = [
-        a
-        for p in lines
-        if p is not None
-        for a in (as_pts(p).reshape(-1, 1, 2).astype(np.int32),)
-        if len(a) >= 2
-    ]
-    if arrs:
-        cv2.polylines(img, arrs, False, color, thickness, lt)
+    # one cv2 call per run of ordinary polylines (each is still drawn
+    # independently, in order — identical pixels to per-contour calls);
+    # long spun polylines take the byte-exact periodic fixpoint path
+    batch: List[np.ndarray] = []
+
+    def flush():
+        if batch:
+            cv2.polylines(img, batch, False, color, thickness, lt)
+            batch.clear()
+
+    for p in lines:
+        if p is None:
+            continue
+        a = as_pts(p).reshape(-1, 1, 2).astype(np.int32)
+        if len(a) < 2:
+            continue
+        if len(a) >= _PERIODIC_MIN:
+            flush()  # preserve draw order around the special-path polyline
+            if not _draw_polyline_periodic(img, a[:, 0, :], color, thickness, lt):
+                batch.append(a)
+        else:
+            batch.append(a)
+    flush()
     if taps:
         for x, y in taps:
             cv2.circle(img, (int(x), int(y)), int(tap_radius), tap_color or color, -1, cv2.LINE_AA)

@@ -1,0 +1,96 @@
+"""Byte-exactness of the periodic fixpoint render elision (viz/previews.py).
+
+The reference's cycle walks respin tiny loops thousands of times (guard =
+4×fg, 04_find_contours.py:174-205), so preview layers carry millions of
+byte-mandated duplicate segments.  render_layer elides repeat passes once a
+full period leaves the canvas unchanged — these tests pin that the result
+is IDENTICAL to the plain single-call render for AA and non-AA lines,
+thicknesses, colors, partial periods, and non-periodic neighbors.
+"""
+
+from __future__ import annotations
+
+import cv2
+import numpy as np
+import pytest
+
+from plotweave.viz.previews import _PERIODIC_MIN, _find_period, render_layer
+
+
+def _spin_poly(rng, reps: int, cycle_len: int = 0, prefix: int = 0, tail: int = 0):
+    """prefix walk + `reps` exact repeats of a closed pixel cycle + tail —
+    the shape the reference's guarded cycle walk produces."""
+    cycle_len = cycle_len or int(rng.integers(8, 60))
+    cx, cy = int(rng.integers(60, 200)), int(rng.integers(60, 200))
+    t = np.linspace(0, 2 * np.pi, cycle_len, endpoint=False)
+    r = int(rng.integers(4, 18))
+    cyc = np.stack([cx + np.rint(r * np.cos(t)), cy + np.rint(r * np.sin(t))], axis=1).astype(np.int32)
+    parts = []
+    if prefix:
+        x0, y0 = int(rng.integers(0, 250)), int(rng.integers(0, 250))
+        parts.append(np.stack([np.linspace(x0, cyc[0, 0], prefix), np.linspace(y0, cyc[0, 1], prefix)], axis=1).astype(np.int32))
+    parts.extend([cyc] * reps)
+    parts.append(cyc[:1])  # walk re-enters the start
+    if tail:
+        x1, y1 = int(rng.integers(0, 250)), int(rng.integers(0, 250))
+        parts.append(np.stack([np.linspace(cyc[0, 0], x1, tail), np.linspace(cyc[0, 1], y1, tail)], axis=1).astype(np.int32))
+    return np.concatenate(parts).reshape(-1, 1, 2)
+
+
+def _plain_render(size_wh, lines, color, thickness, aa):
+    w, h = size_wh
+    img = np.full((h, w, 3), 255, np.uint8)
+    lt = cv2.LINE_AA if aa else cv2.LINE_8
+    arrs = [np.asarray(p).reshape(-1, 1, 2).astype(np.int32) for p in lines if len(p) >= 2]
+    if arrs:
+        cv2.polylines(img, arrs, False, color, thickness, lt)
+    return img
+
+
+@pytest.mark.parametrize("aa", [True, False])
+@pytest.mark.parametrize("thickness", [1, 2])
+def test_periodic_render_byte_exact_fuzz(aa, thickness):
+    rng = np.random.default_rng(5 + thickness + (10 if aa else 0))
+    for trial in range(8):
+        cycle_len = int(rng.integers(8, 60))
+        reps = int(rng.integers(60, 400)) + (_PERIODIC_MIN // cycle_len) + 1
+        lines = [
+            _spin_poly(rng, reps, cycle_len=cycle_len,
+                       prefix=int(rng.integers(0, 40)), tail=int(rng.integers(0, 40))),
+            rng.integers(0, 250, (20, 1, 2)).astype(np.int32),  # ordinary neighbor
+            _spin_poly(rng, reps // 2),
+        ]
+        assert any(len(p) >= _PERIODIC_MIN for p in lines), "fuzz must hit the elision path"
+        color = tuple(int(v) for v in rng.integers(0, 255, 3))
+        got = render_layer((260, 260), lines, color, thickness, aa)
+        ref = _plain_render((260, 260), lines, color, thickness, aa)
+        assert (got == ref).all(), (trial, aa, thickness)
+
+
+def test_periodic_render_poster_class_speed_and_bytes():
+    """A 7M-vertex spun layer (poster-class) must render byte-identically
+    and much faster than segment count alone implies."""
+    import time
+
+    rng = np.random.default_rng(1)
+    lines = [_spin_poly(rng, 5000, cycle_len=224, prefix=60, tail=60) for _ in range(6)]
+    t0 = time.perf_counter()
+    got = render_layer((420, 594), lines, (0, 0, 0), 1, True)
+    fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ref = _plain_render((420, 594), lines, (0, 0, 0), 1, True)
+    plain = time.perf_counter() - t0
+    assert (got == ref).all()
+    assert fast < plain, f"elision should win: {fast:.2f}s vs {plain:.2f}s"
+
+
+def test_find_period_shapes():
+    rng = np.random.default_rng(3)
+    p = _spin_poly(rng, 100, cycle_len=30)[:, 0, :]
+    found = _find_period(p)
+    assert found is not None
+    s, T, k = found
+    assert T % 30 == 0 and k >= 3
+    # non-periodic data: no detection
+    q = rng.integers(0, 1000, (8000, 2)).astype(np.int32)
+    assert _find_period(q) is None
