@@ -88,17 +88,31 @@ def greedy_order(
     closed_aware: bool,
     starts: np.ndarray = None,
     ends: np.ndarray = None,
+    device_min_n: int = 0,
 ) -> Tuple[List[int], List[bool]]:
     """Return (order, flips) of the greedy nearest-endpoint tour.
 
     ``starts``/``ends`` may be precomputed (the _batch_endpoints fast path);
-    when omitted they are derived per contour exactly as before."""
+    when omitted they are derived per contour exactly as before.
+    ``device_min_n`` > 0 routes plans of at least that many contours through
+    the on-device planner (vector/planner_device.py; measured crossover vs
+    the host C++ loop is ~n≈8000 once the tunnel round trip is priced in) —
+    selection semantics are identical, and any device trouble falls back."""
     n = len(polys)
     if starts is None or ends is None:
         starts = np.array([_endpoints(c, closed_aware)[0] for c in polys])
         ends = np.array([_endpoints(c, closed_aware)[1] for c in polys])
 
     cur = int(np.argmax(lengths))
+
+    if device_min_n and n >= device_min_n:
+        from .planner_device import device_planner_eligible, greedy_order_device  # noqa: PLC0415
+
+        if device_planner_eligible():
+            dev = greedy_order_device(starts, ends, closed, closed_aware, cur)
+            if dev is not None:
+                print(f"[sort] device planner: n={n}")
+                return dev
 
     native = _greedy_order_native(starts, ends, closed, closed_aware, cur)
     if native is not None:
@@ -148,7 +162,7 @@ def apply_order(polys: Sequence[np.ndarray], order: List[int], flips: List[bool]
     return out
 
 
-def sort_contours(polys: List[np.ndarray]) -> List[np.ndarray]:
+def sort_contours(polys: List[np.ndarray], device_min_n: int = 0) -> List[np.ndarray]:
     """Stage-07 ordering: closed-aware, seeded on closed arc length."""
     if not polys:
         return []
@@ -156,7 +170,7 @@ def sort_contours(polys: List[np.ndarray]) -> List[np.ndarray]:
     starts, ends, closed = _batch_endpoints(ptss, strip_closed=True)
     lengths = batch_arc_length(ptss, np.ones(len(ptss), bool))
     order, flips = greedy_order(polys, lengths, closed, closed_aware=True,
-                                starts=starts, ends=ends)
+                                starts=starts, ends=ends, device_min_n=device_min_n)
     return apply_order(polys, order, flips, reclose=True)
 
 

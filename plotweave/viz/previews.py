@@ -36,7 +36,16 @@ def _find_period(pts: np.ndarray):
         (pts[j0 + 1 : n - 1] == pts[j0]).all(axis=1)
         & (pts[j0 + 2 : n] == pts[j0 + 1]).all(axis=1)
     )
-    for d in hits[:8]:
+    cands = []
+    if len(hits) > 2:
+        # duplicated vertices make the anchor pair recur at local offsets
+        # too; the modal spacings between hits recover the true period —
+        # try those first (early accept usually stops after one)
+        vals, counts = np.unique(np.diff(hits), return_counts=True)
+        cands.extend(int(v) - 1 for v in vals[np.argsort(counts)[::-1][:4]])
+    cands.extend(int(h) for h in hits[:6])
+    best = None
+    for d in cands:
         T = int(d) + 1
         eq = (pts[T:] == pts[:-T]).all(axis=1)  # eq[i]: pts[i+T] == pts[i]
         if j0 >= len(eq) or not eq[j0]:
@@ -51,8 +60,14 @@ def _find_period(pts: np.ndarray):
         # vertex is e+T-1 → k ≤ (e-s-1)//T + 1; and every pass's vertices
         # must exist → k ≤ (n-1-s)//T
         k = min((e - s - 1) // T + 1, (n - 1 - s) // T)
-        if k >= 3:
-            return s, T, k
+        # a tiny-T run (duplicate-point stretches) also "matches": rank by
+        # elided coverage and keep the candidate that skips the most
+        if k >= 3 and (best is None or k * T > best[1] * best[2]):
+            best = (s, T, k)
+            if k * T >= n // 2:
+                break  # covers most of the polyline — good enough
+    if best is not None and best[1] * best[2] >= n // 8:
+        return best
     return None
 
 

@@ -131,3 +131,68 @@ def test_split_on_jumps_compares_in_float64():
     assert len(frags) == len(ref_like)
     for a, b in zip(frags, ref_like):
         _np.testing.assert_array_equal(a, b)
+
+
+def test_device_planner_matches_host():
+    """vector/planner_device.py (the stage-07 auto-switch for huge plans):
+    device order+flips must equal the host C++ selection loop on the
+    8-device CPU mesh.  Coordinates stay ≤ 2000 so squared distances are
+    exact float32 integers (no fma-contraction ambiguity on XLA:CPU — the
+    production gate only engages on accelerator backends; see module note)."""
+    import numpy as np
+
+    from plotweave.vector.planner_device import BUCKETS, greedy_order_device
+    from plotweave.vector.sort import _greedy_order_native
+
+    rng = np.random.default_rng(2)
+    for n, closed_aware in [(300, True), (300, False), (1500, True)]:
+        starts = rng.integers(0, 2000, (n, 2)).astype(np.float32)
+        ends = rng.integers(0, 2000, (n, 2)).astype(np.float32)
+        closed = rng.random(n) < 0.3
+        seed = int(rng.integers(0, n))
+        # shrink the bucket table so the test compiles a tiny program
+        import plotweave.vector.planner_device as P
+
+        old = P.BUCKETS
+        P.BUCKETS = (2048,)
+        try:
+            dev = greedy_order_device(starts, ends, closed, closed_aware, seed)
+        finally:
+            P.BUCKETS = old
+        assert dev is not None
+        host = _greedy_order_native(starts, ends, closed, closed_aware, seed)
+        assert host is not None, "native library must be available"
+        assert dev[0] == host[0], (n, closed_aware)
+        assert dev[1] == host[1], (n, closed_aware)
+    assert BUCKETS[0] >= 8192  # production buckets stay coarse
+
+
+def test_device_planner_via_sort_contours():
+    """sort_contours(device_min_n=...) must produce the identical ordered
+    contour list through the device path (eligibility is forced here; the
+    production gate requires an accelerator backend)."""
+    import numpy as np
+
+    import plotweave.vector.planner_device as P
+    from plotweave.vector.sort import sort_contours
+
+    rng = np.random.default_rng(4)
+    polys = []
+    for _ in range(260):
+        m = int(rng.integers(2, 8))
+        pts = rng.integers(0, 1500, (m, 2)).astype(np.int32)
+        if rng.random() < 0.3:
+            pts = np.vstack([pts, pts[:1]])  # closed
+        polys.append(pts.reshape(-1, 1, 2))
+
+    host = sort_contours(polys)
+    old_b, old_e = P.BUCKETS, P.device_planner_eligible
+    P.BUCKETS = (512,)
+    P.device_planner_eligible = lambda: True  # sort.py imports lazily → shared
+    try:
+        dev = sort_contours(polys, device_min_n=10)
+    finally:
+        P.BUCKETS, P.device_planner_eligible = old_b, old_e
+    assert len(dev) == len(host)
+    for a, b in zip(dev, host):
+        np.testing.assert_array_equal(a, b)

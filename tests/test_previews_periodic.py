@@ -67,21 +67,31 @@ def test_periodic_render_byte_exact_fuzz(aa, thickness):
         assert (got == ref).all(), (trial, aa, thickness)
 
 
-def test_periodic_render_poster_class_speed_and_bytes():
+def test_periodic_render_poster_class_elides_and_matches():
     """A 7M-vertex spun layer (poster-class) must render byte-identically
-    and much faster than segment count alone implies."""
-    import time
-
+    while actually ELIDING most repeat passes (wall-clock asserts are flaky
+    on this contended 1-core host, so elision is counted, not timed)."""
     rng = np.random.default_rng(1)
     lines = [_spin_poly(rng, 5000, cycle_len=224, prefix=60, tail=60) for _ in range(6)]
-    t0 = time.perf_counter()
-    got = render_layer((420, 594), lines, (0, 0, 0), 1, True)
-    fast = time.perf_counter() - t0
-    t0 = time.perf_counter()
+    total_verts = sum(len(p) for p in lines)
+
+    drawn = {"verts": 0}
+    orig = cv2.polylines
+
+    def counting(img, pts, *a, **k):
+        drawn["verts"] += sum(len(p) for p in pts)
+        return orig(img, pts, *a, **k)
+
+    cv2.polylines = counting
+    try:
+        got = render_layer((420, 594), lines, (0, 0, 0), 1, True)
+    finally:
+        cv2.polylines = orig
     ref = _plain_render((420, 594), lines, (0, 0, 0), 1, True)
-    plain = time.perf_counter() - t0
     assert (got == ref).all()
-    assert fast < plain, f"elision should win: {fast:.2f}s vs {plain:.2f}s"
+    assert drawn["verts"] < total_verts * 0.1, (
+        f"elision should skip ≥90% of segment draws: drew {drawn['verts']} of {total_verts}"
+    )
 
 
 def test_find_period_shapes():
