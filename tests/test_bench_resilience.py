@@ -29,6 +29,19 @@ def _no_sleep(monkeypatch):
     return delays
 
 
+@pytest.fixture(autouse=True)
+def _fresh_watchdog_state():
+    """_DONE/_BEST/armed are process-global (the watchdog emits at most one
+    line per process); tests need a fresh slate each."""
+    import threading
+
+    bench._DONE = threading.Event()
+    bench._BEST.clear()
+    bench._start_watchdog.armed = False
+    yield
+    bench._DONE.set()  # release any armed watchdog thread promptly
+
+
 def _run_e2e(capsys, runner, probe=lambda: 0.01):
     def factory(device_init):
         return runner, lambda: None, 0.786432  # 1024×768 Mpx
@@ -106,6 +119,58 @@ def test_stage_sysexit_is_caught(capsys):
     rc, obj = _run_e2e(capsys, runner)
     assert rc == 0
     assert obj["value"] > 0
+
+
+def test_probe_hang_times_out(monkeypatch, _no_sleep):
+    """A HUNG tunnel (observed round 3: trivial op blocked >15 min) must not
+    hang the probe — each attempt runs under a thread deadline."""
+    import time as real_time
+
+    import threading
+
+    class _HangingJnp:
+        @staticmethod
+        def arange(n):
+            # _no_sleep patches the shared time module — hang via an Event
+            threading.Event().wait(5.0)  # far beyond the patched deadline
+            import numpy as np
+
+            return np.arange(n)
+
+        sum = staticmethod(lambda x: x.sum())
+
+    import jax
+
+    monkeypatch.setattr(jax, "numpy", _HangingJnp)
+    monkeypatch.setattr(bench, "PROBE_ATTEMPT_S", 0.2)
+    t0 = real_time.perf_counter()
+    with pytest.raises(RuntimeError, match="probe failed"):
+        bench.probe_chip(attempts=2)
+    assert real_time.perf_counter() - t0 < 4.0, "deadline must cut the hang short"
+
+
+def test_watchdog_emits_best_when_timed_runs_hang(capsys, monkeypatch):
+    """Warmup completed, then the tunnel hangs mid-timed-run: the watchdog
+    must emit the warmup-based metric line before any external timeout."""
+    monkeypatch.setattr(bench, "WATCHDOG_S", 0.3)
+
+    import threading
+
+    def runner(tag):
+        if tag == "warmup":
+            return 2.0
+        threading.Event().wait(1.2)  # hang long past the watchdog deadline
+        return 1.0
+
+    def factory(device_init):
+        return runner, lambda: None, 0.786432
+
+    with pytest.raises(SystemExit):
+        bench.bench_e2e(runner_factory=factory, probe=lambda: 0.01)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, f"exactly one JSON line, got {out}"
+    obj = json.loads(out[0])
+    assert obj["value"] == pytest.approx(0.786432 / 2.0, abs=1e-3)
 
 
 def test_probe_retries_then_succeeds(monkeypatch, _no_sleep):
