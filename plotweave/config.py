@@ -120,6 +120,13 @@ class PipelineConfig:
     plotopt_tap_insert_radius_px: Optional[float] = None  # default: max(80, pen_width_px)
     plotopt_two_opt: bool = False  # refine the greedy tour (plotweave extension;
     # changes op order only — off by default to preserve reference byte-equality)
+    # With refinement on, op lists of at least this many entries route
+    # through the on-device refiner (vector/refine_device.py: every 2-opt +
+    # relocation move evaluated at once as n×n matrices) instead of the
+    # O(n²)-Python host scan.  0 disables; engages only when the default
+    # backend is a real accelerator.  Result is length-verified on host and
+    # never worse than the greedy tour.
+    refine_device_min_n: int = 600
 
     # ---- stream build (step 13) ----
     steps_per_mm: int = 40  # plotter step density (stage-14 canvas sizing)

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from ._compat import shard_map
 
 from ..ops.frontend import raster_frontend
 

@@ -59,7 +59,7 @@ def _compiled_chain(mesh, w: int, params: Tuple[int, ...]):
     would miss jax's program cache (hash keyed on the mesh object)."""
     import jax
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from ._compat import shard_map
 
     from ..stages.s02_color_extract import _clean_chain_blob_batch
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from ._compat import shard_map
 
 from ..ops.canny import _nbr, _sobel_pair, _TG22, _SHIFT
 from ..ops.colorspace import bgr_to_lab_u8

@@ -227,8 +227,24 @@ def or_opt_refine(ops: List[Op], max_passes: int = 10) -> List[Op]:
     return cur
 
 
-def refine_tour(ops: List[Op], max_rounds: int = 5) -> List[Op]:
-    """Alternate 2-opt and Or-opt until neither shortens the tour."""
+def refine_tour(ops: List[Op], max_rounds: int = 5, device_min_n: int = 0) -> List[Op]:
+    """Alternate 2-opt and Or-opt until neither shortens the tour.
+
+    ``device_min_n`` > 0 routes op lists of at least that many entries
+    through the on-device refiner (vector/refine_device.py: every 2-opt and
+    relocation move evaluated at once as n×n matrices) when the default
+    backend is a real accelerator — the host scan is O(n²) Python per pass
+    and becomes the stage bottleneck in the low hundreds of ops.  Both paths
+    only reorder/flip ops; the device result is length-verified on host and
+    never worse than the input."""
+    if device_min_n and len(ops) >= device_min_n:
+        from .planner_device import device_planner_eligible  # noqa: PLC0415
+        from .refine_device import refine_ops_device  # noqa: PLC0415
+
+        if device_planner_eligible():
+            dev = refine_ops_device(ops, max_moves=max(4096, 4 * len(ops)))
+            if dev is not None:
+                return dev
     cur = ops
     for _ in range(max_rounds):
         length0 = tour_length(cur)

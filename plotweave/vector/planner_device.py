@@ -101,7 +101,11 @@ def greedy_order_device(
         )
         order = np.asarray(order)[:n]
         flips = np.asarray(flips)[:n]
-    except Exception:  # noqa: BLE001 — device trouble → host path
+    except Exception as e:  # noqa: BLE001 — device trouble → host path
+        import sys
+
+        print(f"[sort] device planner unavailable ({type(e).__name__}: {e}); "
+              "falling back to host", file=sys.stderr)
         return None
     return [int(i) for i in order], [bool(f) for f in flips]
 

@@ -196,3 +196,85 @@ def test_device_planner_via_sort_contours():
     assert len(dev) == len(host)
     for a, b in zip(dev, host):
         np.testing.assert_array_equal(a, b)
+
+
+def _op_key(o):
+    if o["type"] == "tap":
+        return ("tap", o["x"], o["y"])
+    p = o["points"]
+    return ("line", min(p.tobytes(), p[::-1].copy().tobytes()))
+
+
+def test_device_refiner_preserves_geometry_and_improves():
+    """vector/refine_device.py (stage 12's refine auto-switch): the result
+    must be a permutation of the input ops (lines possibly reversed), never
+    longer than the greedy tour, and at least as short as a couple of host
+    passes on an adversarial ordering.  No bit-parity contract here — the
+    refiner is a plotweave extension gated behind plotopt_two_opt."""
+    import numpy as _np
+
+    import plotweave.vector.refine_device as R
+    from plotweave.vector.planner import refine_tour
+
+    rng = _np.random.default_rng(9)
+    lines = []
+    for _ in range(60):
+        m = int(rng.integers(2, 6))
+        lines.append(rng.integers(0, 900, (m, 2)).astype(_np.int32).reshape(-1, 1, 2))
+    taps = [tuple(map(int, rng.integers(0, 900, 2))) for _ in range(15)]
+    ops = plan_layer_ops(lines, taps, 30.0)
+    L0 = tour_length(ops)
+
+    old = R.BUCKETS
+    R.BUCKETS = (128, 256)  # tiny compile on the CPU test backend
+    try:
+        dev = R.refine_ops_device(ops)
+    finally:
+        R.BUCKETS = old
+    assert dev is not None
+    Ld = tour_length(dev)
+    assert sorted(map(_op_key, ops)) == sorted(map(_op_key, dev))
+    assert Ld <= L0
+    host = two_opt_refine(list(ops), max_passes=2)
+    assert Ld <= tour_length(host) * 1.02, (Ld, tour_length(host))
+
+    # the refine_tour auto-switch reaches the same path when eligibility is
+    # forced (production gate requires an accelerator backend)
+    import plotweave.vector.planner_device as P
+
+    R.BUCKETS = (128, 256)
+    old_e = P.device_planner_eligible
+    P.device_planner_eligible = lambda: True
+    try:
+        via = refine_tour(list(ops), device_min_n=10)
+    finally:
+        P.device_planner_eligible = old_e
+        R.BUCKETS = old
+    assert sorted(map(_op_key, via)) == sorted(map(_op_key, ops))
+    assert tour_length(via) <= L0
+
+
+def test_device_refiner_perm_stays_valid_every_step():
+    """Apply the move loop one step at a time: after EVERY prefix of moves
+    the permutation must remain a bijection (catches off-by-ones in the
+    2-opt reversal / relocation index arithmetic)."""
+    import numpy as _np
+
+    import plotweave.vector.refine_device as R
+
+    rng = _np.random.default_rng(1)
+    n = 24
+    E = rng.uniform(0, 100, (n, 2)).astype(_np.float32)
+    X = rng.uniform(0, 100, (n, 2)).astype(_np.float32)
+    old = R.BUCKETS
+    R.BUCKETS = (32,)
+    try:
+        for mm in range(1, 60):
+            perm, flip, moves = R.refine_order_device(E, X, max_moves=mm)
+            assert sorted(perm.tolist()) == list(range(n)), (mm, perm.tolist())
+            if moves < mm:
+                break
+        else:
+            raise AssertionError("refiner did not converge within 60 moves")
+    finally:
+        R.BUCKETS = old
