@@ -32,27 +32,39 @@ def _find_period(pts: np.ndarray):
     j0 = n // 2
     if j0 + 2 >= n:
         return None
+    # anchor at a TRANSITION pair (consecutive points differ) at/after the
+    # midpoint: the reference's spun walks carry duplicate-point stretches of
+    # varying lengths, where a duplicate pair recurs at several offsets per
+    # period and the spacing statistics below point at the wrong T
+    step = np.flatnonzero((pts[j0 : n - 2] != pts[j0 + 1 : n - 1]).any(axis=1))
+    j = j0 + int(step[0]) if len(step) else j0
     hits = np.flatnonzero(
-        (pts[j0 + 1 : n - 1] == pts[j0]).all(axis=1)
-        & (pts[j0 + 2 : n] == pts[j0 + 1]).all(axis=1)
+        (pts[j + 1 : n - 1] == pts[j]).all(axis=1)
+        & (pts[j + 2 : n] == pts[j + 1]).all(axis=1)
     )
     cands = []
     if len(hits) > 2:
         # duplicated vertices make the anchor pair recur at local offsets
         # too; the modal spacings between hits recover the true period —
         # try those first (early accept usually stops after one)
-        vals, counts = np.unique(np.diff(hits), return_counts=True)
-        cands.extend(int(v) - 1 for v in vals[np.argsort(counts)[::-1][:4]])
+        diffs = np.diff(hits)
+        vals, counts = np.unique(diffs, return_counts=True)
+        top = vals[np.argsort(counts)[::-1][:4]]
+        cands.extend(int(v) - 1 for v in top)
+        if len(top) >= 2:
+            # an anchor pair that recurs twice per period alternates two
+            # spacings whose SUM is the true period
+            cands.append(int(top[0]) + int(top[1]) - 1)
     cands.extend(int(h) for h in hits[:6])
     best = None
     for d in cands:
         T = int(d) + 1
         eq = (pts[T:] == pts[:-T]).all(axis=1)  # eq[i]: pts[i+T] == pts[i]
-        if j0 >= len(eq) or not eq[j0]:
+        if j >= len(eq) or not eq[j]:
             continue
         falses = np.flatnonzero(~eq)
-        before = falses[falses < j0]
-        after = falses[falses > j0]
+        before = falses[falses < j]
+        after = falses[falses > j]
         s = int(before.max()) + 1 if len(before) else 0
         e = int(after.min()) if len(after) else len(eq)
         # pass m (1-based) reuses vertices up to s+(m+1)·T; the equality
@@ -71,7 +83,8 @@ def _find_period(pts: np.ndarray):
     return None
 
 
-def _draw_polyline_periodic(img, pts: np.ndarray, color, thickness: int, lt) -> bool:
+def _draw_polyline_periodic(img, pts: np.ndarray, color, thickness: int, lt,
+                            found=None) -> bool:
     """Draw a long spun polyline with fixpoint elision; False → caller draws
     it plainly.
 
@@ -81,7 +94,8 @@ def _draw_polyline_periodic(img, pts: np.ndarray, color, thickness: int, lt) -> 
     canvas→canvas map, so once one pass leaves its region unchanged every
     remaining identical pass is a no-op — elision is byte-exact, not an
     approximation (fuzz-pinned: tests/test_previews_periodic.py)."""
-    found = _find_period(pts)
+    if found is None:
+        found = _find_period(pts)
     if found is None:
         return False
     s, T, k = found
@@ -113,6 +127,7 @@ def render_layer(
     taps: Optional[List[Tuple[int, int]]] = None,
     tap_color: Optional[BGR] = None,
     tap_radius: int = 0,
+    period_memo: Optional[dict] = None,
 ) -> np.ndarray:
     w, h = size_wh
     img = np.full((h, w, 3), 255, np.uint8)
@@ -127,6 +142,7 @@ def render_layer(
             cv2.polylines(img, batch, False, color, thickness, lt)
             batch.clear()
 
+    _MISS = object()
     for p in lines:
         if p is None:
             continue
@@ -135,7 +151,17 @@ def render_layer(
             continue
         if len(a) >= _PERIODIC_MIN:
             flush()  # preserve draw order around the special-path polyline
-            if not _draw_polyline_periodic(img, a[:, 0, :], color, thickness, lt):
+            # period structure depends only on the points — memoize it across
+            # the per-layer black and palette-colored renders (id(p) is
+            # stable: the caller holds the lines list for both renders)
+            found = period_memo.get(id(p), _MISS) if period_memo is not None else _MISS
+            if found is _MISS:
+                found = _find_period(a[:, 0, :])
+                if period_memo is not None:
+                    period_memo[id(p)] = found
+            if found is None or not _draw_polyline_periodic(
+                img, a[:, 0, :], color, thickness, lt, found=found
+            ):
                 batch.append(a)
         else:
             batch.append(a)
@@ -178,15 +204,18 @@ def render_stage_previews(
         name, lines, taps = layer
         d = os.path.join(out_dir, name)
         os.makedirs(d, exist_ok=True)
+        memo: dict = {}  # share period detection between the two renders
         black = render_layer(
             size_wh, lines, (0, 0, 0), thickness, antialiased,
             taps=taps, tap_color=tap_color_black_pass, tap_radius=tap_radius,
+            period_memo=memo,
         )
         cv2.imwrite(os.path.join(d, per_layer_name), black)
         col = palette.get(name, (0, 0, 0))
         return render_layer(
             size_wh, lines, col, thickness, antialiased,
             taps=taps, tap_color=col, tap_radius=tap_radius,
+            period_memo=memo,
         )
 
     colored_layers = thread_map(one, layers)

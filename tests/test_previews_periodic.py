@@ -94,6 +94,47 @@ def test_periodic_render_poster_class_elides_and_matches():
     )
 
 
+def test_find_period_duplicate_run_cycles():
+    """Cycles whose duplicate-point plateaus make the midpoint anchor pair
+    recur at TWO alternating offsets per period (observed on poster-class
+    layers: a 60-vertex oscillation with 8 unique points defeated the modal-
+    spacing candidates and 1.1M vertices were drawn plainly).  The transition
+    anchor + spacing-sum candidate must detect these, and the render must
+    stay byte-exact."""
+    y = 23
+    plateau = [(345, 2), (346, 6), (347, 5), (348, 10), (347, 3), (346, 4)]
+    cyc = np.array(
+        [[x, y] for x, n in plateau for _ in range(n)], np.int32
+    )
+    reps = _PERIODIC_MIN // len(cyc) + 40
+    pts = np.concatenate([cyc] * reps + [cyc[:1]])
+    found = _find_period(pts)
+    assert found is not None, "duplicate-run cycle must be detected"
+    s, T, k = found
+    assert T % len(cyc) == 0 and k >= 3
+    lines = [pts.reshape(-1, 1, 2)]
+    got = render_layer((260, 260), lines, (40, 50, 60), 1, True)
+    ref = _plain_render((260, 260), lines, (40, 50, 60), 1, True)
+    assert (got == ref).all()
+
+
+def test_render_layer_period_memo_byte_exact():
+    """The period memo shared between the black and colored renders must not
+    change a single byte vs memo-less renders."""
+    rng = np.random.default_rng(7)
+    lines = [
+        _spin_poly(rng, 300, cycle_len=40, prefix=20, tail=20),
+        rng.integers(0, 250, (30, 1, 2)).astype(np.int32),
+        _spin_poly(rng, 200, cycle_len=17),
+    ]
+    memo: dict = {}
+    for color in [(0, 0, 0), (90, 140, 220)]:
+        with_memo = render_layer((260, 260), lines, color, 1, True, period_memo=memo)
+        without = render_layer((260, 260), lines, color, 1, True)
+        assert (with_memo == without).all()
+    assert memo, "memo must have been populated"
+
+
 def test_find_period_shapes():
     rng = np.random.default_rng(3)
     p = _spin_poly(rng, 100, cycle_len=30)[:, 0, :]
