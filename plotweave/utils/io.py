@@ -108,16 +108,24 @@ def fetch_device_artifact(path: str):
 
 
 def thread_map(fn, items, cap: int = 8) -> list:
-    """Ordered ``pool.map`` over ``items`` with ``min(cap, len(items))``
-    workers (the shared worker-sizing policy for per-layer stage work —
-    PNG encodes, tracing, renders all release the GIL).  Runs inline for a
-    single item."""
+    """Ordered ``pool.map`` over ``items`` with ``min(cap, len(items),
+    cpu_count)`` workers (the shared worker-sizing policy for per-layer stage
+    work — PNG encodes, tracing, renders all release the GIL).  Runs inline
+    below 2 workers.
+
+    The cpu_count clamp matters: every call site's body is pure host compute
+    (no device waits to overlap), so extra threads can only lose — and on the
+    1-core bench host they lose catastrophically: 8 tracers first-touching
+    fresh multi-MB walk buffers concurrently serialize on the kernel's mmap
+    lock (measured: 8-layer 4K trace 0.9 s sequential vs 23–105 s under an
+    8-thread pool, the spread depending on how warm the malloc arenas are)."""
     items = list(items)
-    if len(items) <= 1:
+    workers = min(cap, len(items), max(1, os.cpu_count() or 1))
+    if workers <= 1:
         return [fn(x) for x in items]
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
-    with ThreadPoolExecutor(max_workers=min(cap, len(items))) as pool:
+    with ThreadPoolExecutor(max_workers=workers) as pool:
         return list(pool.map(fn, items))
 
 
