@@ -48,13 +48,15 @@ BACKOFF_S = (5.0, 15.0, 30.0, 60.0)
 #  - each chip-probe attempt runs under a thread deadline (a hung attempt
 #    counts as a failure and is retried while the old call blocks on),
 #  - a global watchdog emits the best COMPLETED run (or an explicit error
-#    line) if the whole benchmark exceeds its deadline, then hard-exits so
-#    stuck runtime threads can't keep the process alive.
+#    line) if the whole benchmark exceeds its deadline; in CLI runs it then
+#    hard-exits (os._exit) so stuck runtime threads can't keep the process
+#    alive (in-process/test use keeps SystemExit semantics instead).
 WATCHDOG_S = float(os.environ.get("PW_BENCH_WATCHDOG_S", "2400"))
 PROBE_ATTEMPT_S = float(os.environ.get("PW_BENCH_PROBE_ATTEMPT_S", "120"))
 
 _BEST: dict = {}  # best completed result so far, emitted by the watchdog
 _DONE = threading.Event()
+_EMIT_LOCK = threading.Lock()  # exactly-one-JSON-line: main vs watchdog race
 _HARD_EXIT = False  # set by main(): os._exit instead of SystemExit
 
 
@@ -63,10 +65,13 @@ def _log(msg: str) -> None:
 
 
 def _emit(obj: dict, rc: int) -> None:
-    if _DONE.is_set():  # the watchdog (or another path) already emitted
-        raise SystemExit(rc)
-    _DONE.set()
-    print(json.dumps(obj), flush=True)
+    # test-and-set must be atomic: the watchdog deadline can fire in the
+    # same instant the benchmark completes, and both paths reach here
+    with _EMIT_LOCK:
+        if _DONE.is_set():  # the watchdog (or another path) already emitted
+            raise SystemExit(rc)
+        _DONE.set()
+        print(json.dumps(obj), flush=True)
     if _HARD_EXIT:
         sys.stderr.flush()
         os._exit(rc)  # don't wait on threads stuck in hung tunnel calls

@@ -101,7 +101,13 @@ def _parse_polylines_mm_fast(text: str):
     low = text.lower()
     if "nan" in low or "inf" in low:
         return None  # float('nan')-class coordinate values: exact path only
+    if "\x00" in text:
+        return None  # literal NULs would collide with the line sentinel
 
+    # the exact state machine iterates str.splitlines(); normalize every
+    # terminator it recognizes (\r\n, bare \r, \f, \v, \x85, U+2028/29, …)
+    # to \n so both parsers see identical line structure
+    text = "\n".join(text.splitlines())
     body = _PAREN_RE.sub("", _SEMI_RE.sub("", text))
     body = body.replace("\n", " \x00 ")
     pairs = _TOKEN_RE.findall(body)
@@ -294,6 +300,10 @@ def mm_polylines_to_steps(
         if len(poly) < 2:
             continue
         a = np.asarray(poly, dtype=np.float64)
+        if not np.isfinite(a).all():
+            # the scalar reference's int(round(nan)) raises here; silently
+            # casting nan would emit INT64_MIN step coordinates instead
+            raise ValueError("non-finite coordinate in polyline")
         xf = (a[:, 0] * scale[0] + offset_mm[0]) * steps_per_mm
         yf = (a[:, 1] * scale[1] + offset_mm[1]) * steps_per_mm
         if invert_y:

@@ -130,9 +130,11 @@ def trace_skeleton_native(
     # reference semantics), so total output can far exceed fg.  On overflow
     # pw_trace dry-counts the rest and returns -(points needed): exactly one
     # re-walk with the right capacity (spin-heavy posters used to pay 2-3
-    # geometric blind retries here).  The capacity factor adapts upward
-    # across calls — sibling layers of a spin-heavy poster then size right
-    # on their first walk.
+    # geometric blind retries here).  The capacity factor tracks the LAST
+    # call's need — sibling layers of a spin-heavy poster size right on
+    # their first walk, and one heavy layer doesn't make every later call
+    # over-allocate forever (worst case per transition: one dry-count
+    # retry, i.e. ≤2× walk cost).
     global _TRACE_CAP_FACTOR
     cap_pts = fg * _TRACE_CAP_FACTOR + 64
     cap_paths = max(fg + 16, cap_pts // 2)
@@ -158,11 +160,22 @@ def trace_skeleton_native(
         _TRACE_CAP_FACTOR = min(256, max(_TRACE_CAP_FACTOR, cap_pts // max(1, fg) + 1))
     if n < 0:
         return None  # pathological: fall back to the Python tracer
-    # disjoint views into the walk buffer (no compaction copy: the buffer is
-    # near-exactly sized after an overflow retry, and a large memcpy costs
-    # real page-fault time on this host)
     lens = out_lens[:n].astype(np.int64, copy=False)
     offs = np.concatenate([[0], np.cumsum(lens)])
+    used = int(offs[-1])
+    # track the factor this call actually needed (+1 period headroom) instead
+    # of ratcheting to the process-wide max forever: one spin-heavy layer
+    # must not make every later layer/image allocate fg*256 points up front.
+    # Benign data race under thread_map (worst case: one extra dry-count
+    # retry on a lost update).
+    _TRACE_CAP_FACTOR = min(256, max(2, used // max(1, fg) + 2))
+    # disjoint views into the walk buffer (no compaction copy when the
+    # buffer is near-exactly sized — a large memcpy costs real page-fault
+    # time on this host).  When the adaptive capacity overshot, compact so
+    # the returned contours don't pin the oversized walk buffer for their
+    # whole lifetime.
+    if used * 4 < cap_pts:
+        out_xy = out_xy[:used].copy()
     return [out_xy[offs[i] : offs[i + 1]].reshape(-1, 1, 2) for i in range(n)]
 
 

@@ -126,7 +126,17 @@ class DeviceBatcher:
                     if npend >= self._capacity() or now >= self._deadline[key]:
                         batch = self._pending.pop(key)
                         self._deadline.pop(key, None)
-                        self._dispatch(key, batch)
+                        # run the device round trip with the lock RELEASED: a
+                        # cold shard_map compile takes minutes (CLAUDE.md),
+                        # and holding the lock would stall image_finished()
+                        # and every other key's submissions/linger expiries.
+                        # The popped batch is private to this leader; waiters
+                        # poll their slots under the lock.
+                        self._cv.release()
+                        try:
+                            self._dispatch(key, batch)
+                        finally:
+                            self._cv.acquire()
                         continue
                     self._cv.wait(timeout=max(0.01, self._deadline[key] - now))
                 else:
@@ -137,8 +147,11 @@ class DeviceBatcher:
 
     def _dispatch(self, key, batch: List[list]) -> None:
         """Stack, pad to a multiple of the mesh size, run, scatter results.
-        Runs under the lock: the device is single-tenant and every same-key
-        peer is parked waiting on these slots anyway."""
+
+        Called with the condition lock RELEASED (the device round trip can
+        cold-compile for minutes); the batch list is private to the calling
+        leader, slot-item writes are GIL-atomic, and waiters re-check their
+        slots under the lock on every notify/timeout."""
         import jax
         from .mesh import data_sharding
 
@@ -146,6 +159,7 @@ class DeviceBatcher:
         b = len(arrs)
         padded = (-b) % self.n_data
         arrs = arrs + [arrs[0]] * padded
+        ok = False
         try:
             fn = _compiled_chain(self.mesh, key[1], key[2])
             dev = jax.device_put(np.stack(arrs), data_sharding(self.mesh))
@@ -156,6 +170,9 @@ class DeviceBatcher:
         else:
             for (_, slot), row in zip(batch, out):
                 slot[0] = row
-            self.n_dispatches += 1
-            self.n_batched_images += b
-        self._cv.notify_all()
+            ok = True
+        with self._cv:
+            if ok:
+                self.n_dispatches += 1
+                self.n_batched_images += b
+            self._cv.notify_all()

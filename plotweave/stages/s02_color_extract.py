@@ -248,11 +248,12 @@ def _resolve_shard_n(cfg: PipelineConfig, h: int, w: int) -> int:
     return 0
 
 
-def _maybe_batcher(cfg: PipelineConfig, fuse: bool, h: int, w: int):
+def _maybe_batcher(cfg: PipelineConfig, fuse: bool, shard_n: int):
     """The active mesh-DP batcher (parallel/batchrun.py), when this image's
     chain dispatch is eligible to join it: fused host-exact path, no spatial
-    sharding requested, and no ``raster_device=cpu`` repin away from the
-    batcher's mesh platform."""
+    sharding requested (``shard_n`` precomputed by the caller — resolving it
+    twice would duplicate the '[shard] note' print), and no
+    ``raster_device=cpu`` repin away from the batcher's mesh platform."""
     if not fuse:
         return None
     from ..parallel.batchrun import active_batcher  # noqa: PLC0415
@@ -260,7 +261,7 @@ def _maybe_batcher(cfg: PipelineConfig, fuse: bool, h: int, w: int):
     b = active_batcher()
     if b is None:
         return None
-    if _resolve_shard_n(cfg, h, w) >= 1:
+    if shard_n >= 1:
         return None
     if (
         str(getattr(cfg, "raster_device", "auto")).lower() == "cpu"
@@ -390,7 +391,8 @@ def run(cfg: PipelineConfig) -> None:
         # raw one-hot masks cross the tunnel bit-packed (8 px/byte); the
         # 3×3 clean-up and any fused 03/04 work stay on device
         packed_np = np.stack([np.packbits(labels == kk, axis=-1) for kk in range(k)])
-        batcher = _maybe_batcher(cfg, fuse, h, w)
+        shard_n = _resolve_shard_n(cfg, h, w) if fuse else 0
+        batcher = _maybe_batcher(cfg, fuse, shard_n)
         if batcher is not None:
             # mesh-DP batch run: this image's chain dispatch joins its
             # siblings in one shard_map over the data axis (byte-identical
@@ -409,7 +411,6 @@ def run(cfg: PipelineConfig) -> None:
         with raster_device_ctx(cfg):
             packed_raw = jnp.asarray(packed_np)
             if fuse:
-                shard_n = _resolve_shard_n(cfg, h, w)
                 if shard_n >= 1:
                     from ..parallel.spatial import sharded_clean_chain  # noqa: PLC0415
 

@@ -133,6 +133,64 @@ def test_batch_mesh_dp_byte_identical(tmp_path, capsys):
             assert ea is not None and eb is not None and (ea == eb).all()
 
 
+def test_batch_mesh_dp_mixed_shapes(tmp_path, capsys):
+    """Mixed-shape batches form one rendezvous group per chain shape; group
+    leaders dispatch with the batcher lock RELEASED (a cold shard_map compile
+    can take minutes — other keys' submissions and image_finished must not
+    stall behind it), and results stay byte-equal to sequential runs."""
+    import re
+
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device backend")
+
+    def make_sized(path: Path, seed: int, h: int, w: int) -> None:
+        rng = np.random.default_rng(seed)
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:, :] = (235, 230, 225)
+        colors = [(20, 20, 20), (40, 60, 200), (140, 180, 220)]
+        for _ in range(10):
+            c = colors[int(rng.integers(0, 3))]
+            x, y = int(rng.integers(0, w)), int(rng.integers(0, h))
+            cv2.circle(img, (x, y), int(rng.integers(6, 30)), c, -1)
+        cv2.imwrite(str(path), img)
+
+    shapes = [(120, 160), (120, 160), (96, 128), (96, 128)]
+    imgs = []
+    for i, (h, w) in enumerate(shapes):
+        p = tmp_path / f"img{i}.png"
+        make_sized(p, seed=70 + i, h=h, w=w)
+        imgs.append(p)
+
+    def build(tag):
+        cfgs = []
+        for i, img in enumerate(imgs):
+            out = tmp_path / tag / f"run{i}"
+            out.mkdir(parents=True)
+            (out / "config.json").write_text(json.dumps(_cfg(img, out)))
+            cfgs.append(load_config(str(out / "config.json")))
+        return cfgs
+
+    seq = build("seq")
+    for c in seq:
+        run_pipeline(c, 1, 13)
+    par = build("par")
+    times = run_pipeline_batch(par, 1, 13, workers=4, mesh_dp=True)
+    assert all(t > 0 for t in times)
+
+    out = capsys.readouterr().out
+    m = re.search(r"mesh-DP: (\d+) image chain\(s\) in (\d+) batched dispatch", out)
+    assert m, "mesh-DP summary line missing"
+    assert int(m.group(1)) == 4
+    assert int(m.group(2)) >= 2, "two chain shapes cannot share a dispatch"
+
+    for a, b in zip(seq, par):
+        sa = (Path(a.output_dir) / "plot_stream.bin").read_bytes()
+        sb = (Path(b.output_dir) / "plot_stream.bin").read_bytes()
+        assert sa == sb
+
+
 def test_batch_isolates_failures(tmp_path, capsys):
     """A bad image must not abort the other images in the batch."""
     good = tmp_path / "good.png"

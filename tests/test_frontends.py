@@ -7,6 +7,7 @@ import json
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 from plotweave.frontends.gcode import gcode_to_stream, parse_polylines_mm
 from plotweave.frontends.svg import fit_to_page, parse_path_data, svg_to_polylines
@@ -106,6 +107,43 @@ def test_fast_parser_matches_exact():
         for fp, ep in zip(fast_paths, exact_paths):
             assert np.array_equal(np.asarray(fp), np.asarray(ep, dtype=np.float64)), text
     assert n_fast >= 30  # the fast path must actually be exercised
+
+
+def test_fast_parser_line_separator_parity():
+    """The exact parser iterates str.splitlines(); the fast parser must see
+    the same line structure for every terminator splitlines recognizes
+    (regression: '\\r'-separated docs collapsed to one line, so a trailing
+    M5 lifted the pen before the move), and documents with literal NULs must
+    dispatch to the exact parser."""
+    from plotweave.frontends.gcode import (
+        _parse_polylines_mm_fast,
+        _parse_polylines_mm_py,
+    )
+
+    base = ["M3", "G1 X10 Y10", "; comment", "G1 X20 Y5 (mid) Y7", "M5", "G1 X0 Y0"]
+    for sep in ["\r", "\r\n", "\f", "\v", "\x85", " ", " "]:
+        text = sep.join(base)
+        exact_paths, exact_moves = _parse_polylines_mm_py(text)
+        fast = _parse_polylines_mm_fast(text)
+        assert fast is not None, repr(sep)
+        fast_paths, fast_moves = fast
+        assert fast_moves == exact_moves == 2, repr(sep)
+        assert len(fast_paths) == len(exact_paths) == 1, repr(sep)
+        assert np.array_equal(
+            np.asarray(fast_paths[0]), np.asarray(exact_paths[0], np.float64)
+        ), repr(sep)
+    assert _parse_polylines_mm_fast("M3\x00G1 X1 Y1") is None
+
+
+def test_mm_polylines_to_steps_rejects_non_finite():
+    """Garbage-in must raise like the scalar reference's int(round(nan)) —
+    not emit INT64_MIN step coordinates."""
+    from plotweave.frontends.gcode import mm_polylines_to_steps
+
+    with pytest.raises(ValueError):
+        mm_polylines_to_steps(
+            [np.array([[0.0, 0.0], [np.nan, 5.0]])], 40.0, 1000, 1000, False
+        )
 
 
 def test_fast_parser_stream_bytes_match_exact():

@@ -38,7 +38,10 @@ def test_dryrun_after_backends_initialized():
     r = _run(
         """
 import jax, jax.numpy as jnp
-x = jnp.asarray([1.0, 2.0]) * 2  # initialize backends with the default config
+# the axon plugin overrides JAX_PLATFORMS env (see conftest) — force CPU
+# programmatically so the prelude init never depends on a live tunnel
+jax.config.update("jax_platforms", "cpu")
+x = jnp.asarray([1.0, 2.0]) * 2  # initialize backends: 1 CPU device
 assert len(jax.devices()) == 1, jax.devices()
 import __graft_entry__
 __graft_entry__.dryrun_multichip(8)

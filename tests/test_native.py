@@ -197,6 +197,43 @@ def test_native_trace_cycle_heavy_matches_python():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_native_trace_cap_factor_tracks_need():
+    """The adaptive walk-buffer factor must follow each call's actual need,
+    not ratchet to the process max forever (one spin-heavy layer used to
+    make every later trace allocate fg*factor_max points up front), and the
+    post-overshoot compaction must not change the traced output."""
+    import cv2
+
+    import plotweave.native.api as A
+    from plotweave.vector.trace import trace_skeleton
+
+    if A.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    # a plain open path: needs factor ~1
+    plain = np.zeros((40, 200), np.uint8)
+    plain[20, 5:195] = 1
+
+    old = A._TRACE_CAP_FACTOR
+    try:
+        A._TRACE_CAP_FACTOR = 256  # simulate a prior spin-heavy layer
+        a = A.trace_skeleton_native(plain)
+        b = trace_skeleton(plain)
+        assert a is not None and len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # compaction: the returned views must not pin the fg*256 buffer
+        base = a[0].base
+        while getattr(base, "base", None) is not None:
+            base = base.base
+        assert base.nbytes <= plain.sum() * 2 * 4 * 8, "walk buffer not compacted"
+        assert A._TRACE_CAP_FACTOR <= 4, "factor must decay to this call's need"
+    finally:
+        A._TRACE_CAP_FACTOR = old
+
+
 def test_native_greedy_order_fuzz_identical():
     """The C++ selection loop vs the pure-Python one, with engineered ties
     (duplicate endpoints) and both closed_aware modes."""
