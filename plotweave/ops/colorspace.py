@@ -10,17 +10,22 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# sRGB → XYZ (D65), rows scaled so white maps to (0.950456, 1.0, 1.088754)
-_M = jnp.array(
+# sRGB → XYZ (D65), rows scaled so white maps to (0.950456, 1.0, 1.088754).
+# Kept as NUMPY constants: a module-level jnp.array is an eager dispatch that
+# initializes the default backend at import time — which blocks forever when
+# the tunnel is hung, before raster_device=cpu could ever take effect.  As
+# numpy they embed into the jitted program at trace time instead.
+_M = np.array(
     [
         [0.412453, 0.357580, 0.180423],
         [0.212671, 0.715160, 0.072169],
         [0.019334, 0.119193, 0.950227],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
-_WHITE = jnp.array([0.950456, 1.0, 1.088754], dtype=jnp.float32)
+_WHITE = np.array([0.950456, 1.0, 1.088754], dtype=np.float32)
 
 
 def _srgb_gamma_inv(u: jax.Array) -> jax.Array:

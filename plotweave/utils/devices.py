@@ -32,6 +32,21 @@ def raster_device_ctx(cfg):
         )
     import jax  # noqa: PLC0415
 
+    # The tunnel can HANG outright (CLAUDE.md) — and merely *initializing*
+    # the axon backend blocks on it.  When no backend is live yet, make the
+    # escape hatch total: force the platform to CPU so the hung plugin is
+    # never touched.  (Once backends are initialized — e.g. mid batch run —
+    # fall through to per-dispatch pinning on the already-live backends.)
+    try:
+        from jax._src import xla_bridge as _xb  # noqa: PLC0415
+
+        backends_live = bool(_xb.backends_are_initialized())
+    except AttributeError:  # private API may move across JAX versions
+        backends_live = True
+    if not backends_live:
+        jax.config.update("jax_platforms", "cpu")
+        return nullcontext()
+
     if jax.default_backend() == "cpu":
         return nullcontext()
     try:
