@@ -375,13 +375,72 @@ int64_t pw_trace(const int32_t* labels, const uint8_t* degree,
             visited[i] = comp;
             int prevx = 0, prevy = 0; bool has_prev = false;
             long long guard = 0;
+            // Spin fast-path: the reference's guarded cycle walks re-loop a
+            // small circuit up to 4x fg steps.  The step function depends
+            // only on (pos, prev) and `visited`; while steps visit NOTHING
+            // new, `visited` is frozen and the walk is a deterministic orbit
+            // — typically rho-shaped (an aperiodic transient through pixels
+            // visited by EARLIER walks, then a limit cycle), so cycle
+            // detection uses Brent's power-of-two checkpointing rather than
+            // a fixed anchor.  On recurrence the remaining steps are emitted
+            // by replaying the recorded period — byte-identical to walking
+            // them (the start pixel cannot lie inside the period or the
+            // loop would have broken there, and the guard accounting
+            // mirrors the scalar loop's emit-then-check order exactly).
+            std::vector<int32_t> spin;   // points emitted since the checkpoint
+            bool armed = false;
+            int s0px = 0, s0py = 0, s0prevx = 0, s0prevy = 0;
+            long long lam = 0, pw2 = 1;
+            const long long SPIN_MAX = (long long)1 << 20;  // beyond: plain walk
             while (true) {
+                if (armed) {
+                    if (lam >= 1 && px == s0px && py == s0py
+                        && prevx == s0prevx && prevy == s0prevy) {
+                        // one full period verified: lam steps back to this
+                        // state; spin holds exactly those lam points.
+                        long long T = lam;
+                        // the scalar loop runs while guard (post-increment)
+                        // stays <= 4*fg, emitting each step's point BEFORE
+                        // the check — exactly rem more steps remain
+                        long long rem = fg * 4 - guard + 1;
+                        long long q = rem > 0 ? rem / T : 0;
+                        for (long long r = 0; r < q; r++)
+                            for (size_t t = 0; t < spin.size(); t += 2)
+                                put_pt(spin[t], spin[t + 1]);
+                        guard += q * T;  // state is the checkpoint again
+                        armed = false;
+                        spin.clear();
+                        if (q > 0 && rem - q * T == 0) break;  // guard tripped on the last bulk point
+                    } else if (lam == pw2) {
+                        // Brent checkpoint refresh: double the window
+                        s0px = px; s0py = py; s0prevx = prevx; s0prevy = prevy;
+                        pw2 <<= 1; lam = 0; spin.clear();
+                        if (pw2 > SPIN_MAX) armed = false;  // plain walk
+                    }
+                }
                 int nx, ny;
-                if (!first_step(px, py, prevx, prevy, has_prev, nx, ny)) {
+                bool fresh = first_step(px, py, prevx, prevy, has_prev, nx, ny);
+                if (!fresh) {
                     if (!any_step(px, py, prevx, prevy, has_prev, nx, ny)) break;
                 }
                 put_pt(nx, ny);
-                if (visited[ny * w + nx] != comp) visited[ny * w + nx] = comp;
+                if (visited[ny * w + nx] != comp) {
+                    visited[ny * w + nx] = comp;   // state space changed: restart
+                    armed = false;
+                    spin.clear();
+                } else {
+                    // arm only from a has_prev state: the recurrence compare
+                    // above can't tell prev==(0,0) from "no prev yet"
+                    if (!armed && has_prev) {
+                        armed = true;
+                        s0px = px; s0py = py; s0prevx = prevx; s0prevy = prevy;
+                        lam = 0; pw2 = 1; spin.clear();
+                    }
+                    if (armed) {
+                        lam++;
+                        spin.push_back(nx); spin.push_back(ny);
+                    }
+                }
                 prevx = px; prevy = py; has_prev = true;
                 px = nx; py = ny;
                 if (px == sx && py == sy) break;

@@ -118,10 +118,17 @@ def classify_taps(
     ptss = [as_pts(c) for c in polys]
     boxes = batch_bbox(ptss)
     dmax = np.maximum(boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]).astype(float)
+    # the tap test ANDs the perimeter bound with the vertex bound, so a
+    # perimeter is only ever consulted for contours within tap_max_vertices —
+    # pre-filtering on that skips perimeter sums over the reference's spun
+    # cycle walks (tiny bbox, MILLIONS of vertices; measured 0.5 s/layer-set
+    # on the 4K poster)
     cand = [
         i
         for i, p in enumerate(ptss)
-        if p.shape[0] >= 2 and dmax[i] <= tap_diam and dmax[i] <= tap_max_dim
+        if 2 <= p.shape[0] <= tap_max_vertices
+        and dmax[i] <= tap_diam
+        and dmax[i] <= tap_max_dim
     ]
     perims = batch_perimeter_open([ptss[i] for i in cand])
     perim_of = dict(zip(cand, perims))
@@ -131,7 +138,7 @@ def classify_taps(
             continue
         d = float(dmax[i])
         if d <= tap_diam and d <= tap_max_dim:
-            if perim_of[i] <= tap_max_perimeter and int(p.shape[0]) <= tap_max_vertices:
+            if int(p.shape[0]) <= tap_max_vertices and perim_of[i] <= tap_max_perimeter:
                 (x, y), _ = cv2.minEnclosingCircle(p.reshape(-1, 1, 2).astype(np.float32))
                 taps.append((int(round(x)), int(round(y))))
                 continue

@@ -32,15 +32,19 @@ def _find_period(pts: np.ndarray):
     j0 = n // 2
     if j0 + 2 >= n:
         return None
+    # pack each int32 (x, y) into one int64 lane: every equality test below
+    # becomes a single-column compare (detection-speed only — the detected
+    # period, and the drawn bytes either way, are unchanged; measured ~2×
+    # on the 4K poster's million-vertex spun layers)
+    v = np.ascontiguousarray(pts, dtype=np.int32).view(np.int64).ravel()
     # anchor at a TRANSITION pair (consecutive points differ) at/after the
     # midpoint: the reference's spun walks carry duplicate-point stretches of
     # varying lengths, where a duplicate pair recurs at several offsets per
     # period and the spacing statistics below point at the wrong T
-    step = np.flatnonzero((pts[j0 : n - 2] != pts[j0 + 1 : n - 1]).any(axis=1))
+    step = np.flatnonzero(v[j0 : n - 2] != v[j0 + 1 : n - 1])
     j = j0 + int(step[0]) if len(step) else j0
     hits = np.flatnonzero(
-        (pts[j + 1 : n - 1] == pts[j]).all(axis=1)
-        & (pts[j + 2 : n] == pts[j + 1]).all(axis=1)
+        (v[j + 1 : n - 1] == v[j]) & (v[j + 2 : n] == v[j + 1])
     )
     cands = []
     if len(hits) > 2:
@@ -59,7 +63,7 @@ def _find_period(pts: np.ndarray):
     best = None
     for d in cands:
         T = int(d) + 1
-        eq = (pts[T:] == pts[:-T]).all(axis=1)  # eq[i]: pts[i+T] == pts[i]
+        eq = v[T:] == v[:-T]  # eq[i]: pts[i+T] == pts[i]
         if j >= len(eq) or not eq[j]:
             continue
         falses = np.flatnonzero(~eq)

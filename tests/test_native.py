@@ -234,6 +234,48 @@ def test_native_trace_cap_factor_tracks_need():
         A._TRACE_CAP_FACTOR = old
 
 
+def test_native_trace_spin_fast_path_exact():
+    """Guard-bounded spin walks (the reference's 4×fg cycle respins) take the
+    Brent cycle-detection bulk-replay fast path in pw_trace — output must be
+    byte-identical to the plain Python walker.  The fixture is a real
+    thinned-skeleton component from the 4K poster benchmark whose phase-2
+    walks emit ~85× fg points (rho-shaped orbits: aperiodic transients
+    through previously-visited pixels, then tiny limit cycles — exactly the
+    shape a fixed-anchor detector misses)."""
+    import base64
+    import zlib
+
+    import plotweave.native.api as A
+    from plotweave.vector.trace import trace_skeleton
+
+    if A.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    b64 = (
+        "eNpVUTFOw0AQnLNPxpEskVCgFClOfoFFGkoXPMTwAvjBCVGkpMxz/AAeYeUFoUeYvdudkzjJ"
+        "8nhvdndmDMipI/S476uhRwxWioLzOYC1GZiAm3X9zR9uIdPrfQ1sFTVYRkVt826jh4fW0PM5"
+        "GPoYTUJ1rKzUnUi7n0h7A5V60hBIQ1x42bG0ZSfG4rFmyRffoUyLnFbRAlqMpLl1/VGaPLdp"
+        "2EVdJrlZtDwveedeYmjzfAlt36tzuDnT8IquCoYWrzKGA3YW/ownRT2cyTjBqwwXsDH9ETo3"
+        "9elc6XP6k6TPGuS1i6T1pOGLNNsgtGYiTZUn2pE0kyRL3WdGd+JwNm0MrcS9IaATFCeSEnOn"
+        "HLk8l7/CtG31/wUTUUoff9m5Lo0="
+    )
+    crop = np.unpackbits(
+        np.frombuffer(zlib.decompress(base64.b64decode(b64)), np.uint8)
+    )[: 72 * 78].reshape(72, 78).astype(np.uint8)
+    fg = int(crop.sum())
+    assert fg == 357
+
+    a = A.trace_skeleton_native(crop)
+    b = trace_skeleton(crop)
+    assert a is not None and len(a) == len(b)
+    total = sum(len(x) for x in a)
+    assert total > 50 * fg, "fixture must actually spin (guard-bounded walks)"
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_native_greedy_order_fuzz_identical():
     """The C++ selection loop vs the pure-Python one, with engineered ties
     (duplicate endpoints) and both closed_aware modes."""
