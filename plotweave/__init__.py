@@ -46,3 +46,31 @@ def _enable_compilation_cache() -> None:
 
 
 _enable_compilation_cache()
+
+
+def _retain_heap() -> None:
+    """Keep freed large buffers in the process heap (glibc mallopt).
+
+    By default glibc serves multi-MB numpy temporaries via mmap and munmaps
+    them on free, so every stage's big temporary re-pays fresh page faults.
+    On this class of host that cost is pathological and EPISODIC: measured
+    55 ms/MB during bad phases (a 240 MB first-touch took 13 s) vs ~0.3 ms/MB
+    warm — reusing warm heap pages is 100×+ cheaper than re-faulting.  Raising
+    the mmap/trim thresholds makes the heap grow to the pipeline's peak
+    working set once and stay there (hundreds of MB against 128 GB RAM).
+    Opt out with PLOTWEAVE_NO_MALLOC_TUNE=1.
+    """
+    if _os.environ.get("PLOTWEAVE_NO_MALLOC_TUNE"):
+        return
+    try:
+        import ctypes as _ctypes
+
+        libc = _ctypes.CDLL(None)
+        GB = 1 << 30
+        libc.mallopt(-3, GB)  # M_MMAP_THRESHOLD: heap-serve allocations < 1 GB
+        libc.mallopt(-1, GB)  # M_TRIM_THRESHOLD: never return freed heap < 1 GB
+    except (OSError, AttributeError):  # pragma: no cover — non-glibc hosts
+        pass
+
+
+_retain_heap()

@@ -223,6 +223,21 @@ class LineStampTable:
         self.span_row = np.ascontiguousarray(np.asarray(rows, np.int32))
         self.span_x0 = np.ascontiguousarray(np.asarray(x0s, np.int32))
         self.span_x1 = np.ascontiguousarray(np.asarray(x1s, np.int32))
+        # translation invariance holds only for UNCLIPPED renders: cv2's
+        # thick-line code clips the center segment against the image rect
+        # before thickening, so a stamp whose unclipped extent crosses the
+        # border rasterizes differently than the translated interior stamp
+        # (measured: ±1-px diffs both ways).  Callers must route any contour
+        # that could anchor a stamp within ``extent`` of the border through
+        # the Python cv2 path instead.
+        if len(rows):
+            self.extent = int(max(
+                int(np.abs(self.span_row).max()),
+                int(np.abs(self.span_x0).max()),
+                int(np.abs(self.span_x1).max()),
+            ))
+        else:
+            self.extent = 0
 
 
 _STAMP_CACHE: dict = {}
@@ -242,17 +257,22 @@ def virtual_draw_native(samples, canvas, grid_radius, grid_cell, tail_len_px, br
     h, w = canvas.shape
     sx = np.ascontiguousarray(samples[:, 0], dtype=np.float64)
     sy = np.ascontiguousarray(samples[:, 1], dtype=np.float64)
-    # pre-screen: off-canvas samples break the bounded-delta guarantee
-    rx = np.rint(sx)
-    ry = np.rint(sy)
-    if ((rx < 0) | (rx >= w) | (ry < 0) | (ry >= h)).any():
-        return None
 
     key = (int(brush), int(max_delta))
     table = _STAMP_CACHE.get(key)
     if table is None:
         table = LineStampTable(int(brush), int(max_delta))
         _STAMP_CACHE[key] = table
+
+    # pre-screen: off-canvas samples break the bounded-delta guarantee, and
+    # samples within the stamp extent of the border could anchor a clipped
+    # stamp, where cv2's rendering is not translation-invariant (see
+    # LineStampTable.extent) — both go through the exact Python path
+    e = table.extent
+    rx = np.rint(sx)
+    ry = np.rint(sy)
+    if ((rx < e) | (rx >= w - e) | (ry < e) | (ry >= h - e)).any():
+        return None
 
     n = len(sx)
     cap_pts = n + 8
@@ -286,6 +306,147 @@ def virtual_draw_native(samples, canvas, grid_radius, grid_cell, tail_len_px, br
         frags.append(pts.astype(np.int32).reshape(-1, 1, 2))
         off += ln
     return frags
+
+
+def resample_batch_native(p32s, closed_flags, step: float) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Batched resample_arclen over opened (n, 2) float32 contours.
+
+    Returns (samples_x f64, samples_y f64, offsets int64) concatenated over
+    contours, or None when the native library is unavailable.  Bit-exact vs
+    the per-contour Python resample (fuzz-pinned, test_native_virtual_draw)."""
+    from .loader import bind_virtual_draw  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    bind_virtual_draw(lib)
+
+    k = len(p32s)
+    lens = np.fromiter((len(p) for p in p32s), np.int64, count=k)
+    offs = np.zeros(k + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    if offs[-1] == 0:
+        z = np.zeros(0, np.float64)
+        return z, z, offs
+    big = np.concatenate([p.reshape(-1, 2) for p in p32s]).astype(np.float32, copy=False)
+    px = np.ascontiguousarray(big[:, 0])
+    py = np.ascontiguousarray(big[:, 1])
+    cl = np.ascontiguousarray(np.asarray(closed_flags, dtype=np.uint8))
+
+    dp = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    # sample count ≈ arc length / step per contour; a float64 segment-sum
+    # upper bound (padded — the float32 cumsum can drift either way by far
+    # less than 1%) sizes the buffer right on the first try
+    d = np.diff(big, axis=0).astype(np.float64)
+    seg = np.hypot(d[:, 0], d[:, 1])
+    est = seg.sum() / max(1e-9, float(step))  # cross-boundary segs only pad
+    cap = int(offs[-1] + est * 1.01 + 8 * k + 64)
+    for _ in range(8):
+        out_x = np.empty(cap, np.float64)
+        out_y = np.empty(cap, np.float64)
+        out_offs = np.empty(k + 1, np.int64)
+        n = lib.pw_resample_batch(
+            px.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            py.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            offs.ctypes.data_as(i64p), k,
+            cl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            float(step),
+            out_x.ctypes.data_as(dp), out_y.ctypes.data_as(dp), cap,
+            out_offs.ctypes.data_as(i64p),
+        )
+        if n >= 0:
+            return out_x[:n], out_y[:n], out_offs
+        # -n = minimum capacity through the overflowing contour; geometric
+        # growth terminates (total need is finite)
+        cap = max(int(-n) * 2, cap * 2)
+    return None
+
+
+def virtual_draw_batch_native(
+    sx, sy, soffs, canvas, grid_radius, grid_cell, tail_len_px, brush, max_delta
+):
+    """Batched pass-A virtual draw of contours [soffs[i], soffs[i+1]) against
+    the shared ``canvas`` (same per-contour semantics as virtual_draw_native).
+
+    Returns (frags_per_contour, done) where ``done`` counts contours fully
+    processed (== len(soffs)-1 normally; fewer when a contour hits a native
+    contract edge — the caller replays THAT contour in Python and re-enters
+    with the remainder).  None when the library is unavailable."""
+    from .loader import bind_virtual_draw  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    bind_virtual_draw(lib)
+
+    k = len(soffs) - 1
+    if k <= 0:
+        return [], 0
+
+    key = (int(brush), int(max_delta))
+    table = _STAMP_CACHE.get(key)
+    if table is None:
+        table = LineStampTable(int(brush), int(max_delta))
+        _STAMP_CACHE[key] = table
+
+    total = int(soffs[-1] - soffs[0])
+    base = int(soffs[0])
+    sx = np.ascontiguousarray(sx[base : base + total], np.float64)
+    sy = np.ascontiguousarray(sy[base : base + total], np.float64)
+    rel = np.ascontiguousarray(np.asarray(soffs, np.int64) - base)
+
+    cap_pts = total + 8
+    cap_frags = total // 2 + k + 8
+    out_x = np.empty(cap_pts, np.float64)
+    out_y = np.empty(cap_pts, np.float64)
+    frag_lens = np.empty(cap_frags, np.int32)
+    frag_counts = np.zeros(k, np.int32)
+    done = np.zeros(1, np.int64)
+
+    dp = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    h, w = canvas.shape
+    nfrags = lib.pw_virtual_draw_batch(
+        sx.ctypes.data_as(dp), sy.ctypes.data_as(dp),
+        rel.ctypes.data_as(i64p), k,
+        canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        float(tail_len_px), float(grid_radius), float(grid_cell),
+        table.R,
+        table.span_start.ctypes.data_as(i64p),
+        table.span_count.ctypes.data_as(i32p),
+        table.span_row.ctypes.data_as(i32p),
+        table.span_x0.ctypes.data_as(i32p),
+        table.span_x1.ctypes.data_as(i32p),
+        out_x.ctypes.data_as(dp), out_y.ctypes.data_as(dp), cap_pts,
+        frag_lens.ctypes.data_as(i32p), cap_frags,
+        frag_counts.ctypes.data_as(i32p),
+        done.ctypes.data_as(i64p),
+    )
+    ndone = int(done[0])
+    if nfrags < 0 and ndone == 0:
+        return [], 0
+    total_frags = int(frag_counts[:ndone].sum()) if nfrags < 0 else int(nfrags)
+    lens = frag_lens[:total_frags].astype(np.int64)
+    used = int(lens.sum())
+    # one bulk float64 → int32 truncation, then per-fragment views
+    pts = np.empty((used, 2), np.float64)
+    pts[:, 0] = out_x[:used]
+    pts[:, 1] = out_y[:used]
+    ptsi = pts.astype(np.int32)
+    frag_offs = np.concatenate([[0], np.cumsum(lens)])
+    per_contour = []
+    fi = 0
+    for c in range(ndone):
+        nfc = int(frag_counts[c])
+        frags = [
+            ptsi[frag_offs[fi + j] : frag_offs[fi + j + 1]].reshape(-1, 1, 2)
+            for j in range(nfc)
+        ]
+        fi += nfc
+        per_contour.append(frags)
+    return per_contour, ndone
 
 
 def cv_kmeans_native(

@@ -404,9 +404,35 @@ int64_t pw_trace(const int32_t* labels, const uint8_t* degree,
                         // the check — exactly rem more steps remain
                         long long rem = fg * 4 - guard + 1;
                         long long q = rem > 0 ? rem / T : 0;
-                        for (long long r = 0; r < q; r++)
-                            for (size_t t = 0; t < spin.size(); t += 2)
-                                put_pt(spin[t], spin[t + 1]);
+                        long long total = q * T;
+                        if (total > 0) {
+                            if (npts + total <= cap_pts) {
+                                // emit the q periods by doubling memcpy: one
+                                // copy of the recorded period, then copy the
+                                // already-written run onto itself — the same
+                                // byte sequence as the per-point loop at pure
+                                // memory bandwidth (log2(q) large copies)
+                                int32_t* dst = out_xy + 2 * npts;
+                                std::memcpy(dst, spin.data(),
+                                            (size_t)T * 2 * sizeof(int32_t));
+                                long long run = T;
+                                while (run < total) {
+                                    long long chunk =
+                                        run < total - run ? run : total - run;
+                                    std::memcpy(dst + 2 * run, dst,
+                                                (size_t)chunk * 2 * sizeof(int32_t));
+                                    run += chunk;
+                                }
+                            } else {
+                                // capacity overflow: the caller discards the
+                                // buffer and retries, so only the exact point
+                                // COUNT matters — O(1), which makes the
+                                // dry-count pass nearly free for spin-heavy
+                                // layers (it used to re-loop every period)
+                                over = true;
+                            }
+                            npts += total;
+                        }
                         guard += q * T;  // state is the checkpoint again
                         armed = false;
                         spin.clear();
@@ -635,6 +661,144 @@ extern "C" int64_t pw_virtual_draw(
         if (!commit(sx[oldi], sy[oldi])) return -2;
     }
     if (!flush_frag()) return -1;
+    return nfrags;
+}
+
+// ------------------------------------------- stage-08 batched front half
+//
+// One call per layer instead of one per contour: the Python side's
+// per-contour overhead (a dozen numpy ops + ctypes marshalling per call,
+// ~0.5 ms × ~2000 contours on the 4K poster) dominated stage-08 once the
+// draw loop itself went native.
+//
+// pw_resample_batch replicates vector/geometry.py::resample_arclen
+// (reference 08_dedup_layer_basic.py:53-64) bit-exactly per contour:
+//   - float32 segment norms sqrt(dx*dx + dy*dy) (np.linalg.norm axis-1)
+//   - sequential float32 cumsum, widened to float64 (np.concatenate
+//     with a float64 [0.0] promotes)
+//   - sample grid t = np.arange(0, s_end, step, float32): length
+//     ceil((stop-start)/step) in double; t[0]=start, t[1]=start+step
+//     (computed in double, cast), t[i>=2] = t0 + (float)i * (t1-t0)
+//     — numpy's arange fill algorithm verbatim
+//   - searchsorted(side=right)-1, clipped
+//   - u and the lerp in float64 (float32 operands widen against the
+//     float64 s / u arrays)
+
+extern "C" int64_t pw_resample_batch(
+    const float* px, const float* py,      // concatenated opened contours
+    const int64_t* offs, int64_t k,        // contour i: [offs[i], offs[i+1])
+    const uint8_t* closed,                 // is_closed(opened contour) flags
+    double step,                           // caller-clamped max(1.0, step)
+    double* out_x, double* out_y, int64_t cap,
+    int64_t* out_offs)                     // (k+1) sample offsets
+{
+    int64_t used = 0;
+    out_offs[0] = 0;
+    std::vector<double> s;                 // per-contour arc-length prefix
+    for (int64_t c = 0; c < k; c++) {
+        const float* cx = px + offs[c];
+        const float* cy = py + offs[c];
+        int64_t n = offs[c + 1] - offs[c];
+        int64_t m = (closed[c] && n > 1) ? n - 1 : n;   // drop closing vertex
+        if (n < 2) m = n;                               // short: unchanged
+        if (m < 2) {
+            // fewer than 2 points survive: emitted as-is (caller skips them)
+            if (used + m > cap) return -(used + m);
+            for (int64_t j = 0; j < m; j++) {
+                out_x[used] = (double)cx[j];
+                out_y[used] = (double)cy[j];
+                used++;
+            }
+            out_offs[c + 1] = used;
+            continue;
+        }
+        s.resize((size_t)m);
+        s[0] = 0.0;
+        float acc = 0.0f;
+        for (int64_t j = 0; j + 1 < m; j++) {
+            float dx = cx[j + 1] - cx[j], dy = cy[j + 1] - cy[j];
+            float seg = std::sqrt(dx * dx + dy * dy);   // float32 norm
+            acc = acc + seg;                            // float32 cumsum
+            s[(size_t)j + 1] = (double)acc;
+        }
+        double s_end = s[(size_t)m - 1];
+        if (s_end <= step) {
+            // total length within one step: contour returned unchanged
+            if (used + m > cap) return -(used + m);
+            for (int64_t j = 0; j < m; j++) {
+                out_x[used] = (double)cx[j];
+                out_y[used] = (double)cy[j];
+                used++;
+            }
+            out_offs[c + 1] = used;
+            continue;
+        }
+        int64_t tn = (int64_t)std::ceil(s_end / step);  // np.arange length
+        if (tn < 0) tn = 0;
+        if (used + tn > cap) return -(used + tn);
+        float t0 = 0.0f;
+        float t1 = (float)(0.0 + step);
+        float dt = t1 - t0;
+        int64_t kk = 0;  // searchsorted cursor: t is non-decreasing, s sorted
+        for (int64_t i = 0; i < tn; i++) {
+            float tf = (i == 0) ? t0 : (i == 1 ? t1 : t0 + (float)i * dt);
+            double t = (double)tf;
+            // np.searchsorted(s, t, side="right") - 1, clipped to [0, m-2]:
+            // advance while s[kk+1] <= t (upper_bound semantics)
+            while (kk + 1 < m && s[(size_t)kk + 1] <= t) kk++;
+            int64_t j = kk;
+            if (j > m - 2) j = m - 2;
+            double den = s[(size_t)j + 1] - s[(size_t)j];
+            if (den < 1e-6) den = 1e-6;                 // np.maximum(1e-6, ·)
+            double u = (t - s[(size_t)j]) / den;
+            out_x[used] = (double)cx[j] * (1.0 - u) + (double)cx[j + 1] * u;
+            out_y[used] = (double)cy[j] * (1.0 - u) + (double)cy[j + 1] * u;
+            used++;
+        }
+        out_offs[c + 1] = used;
+    }
+    return used;
+}
+
+// Batched pass-A virtual draw: contours replayed in caller order against the
+// shared canvas, each with its own fresh point grid — identical state
+// machine to per-contour pw_virtual_draw calls (the canvas/grid semantics
+// live there).  On a contour's negative rc, *out_done reports how many
+// contours completed so the caller can fall back for that one and resume.
+extern "C" int64_t pw_virtual_draw_batch(
+    const double* sx, const double* sy,
+    const int64_t* soffs, int64_t k,
+    uint8_t* canvas, int h, int w,
+    double tail_len_px, double grid_radius, double grid_cell,
+    int R,
+    const int64_t* span_start, const int32_t* span_count,
+    const int32_t* span_row, const int32_t* span_x0, const int32_t* span_x1,
+    double* out_x, double* out_y, int64_t cap_pts,
+    int32_t* frag_lens, int64_t cap_frags,
+    int32_t* frag_counts, int64_t* out_done)
+{
+    int64_t used = 0, nfrags = 0;
+    for (int64_t c = 0; c < k; c++) {
+        int64_t n = soffs[c + 1] - soffs[c];
+        if (n < 2) {           // matches the Python len(samples) < 2 skip
+            frag_counts[c] = 0;
+            continue;
+        }
+        int64_t rc = pw_virtual_draw(
+            sx + soffs[c], sy + soffs[c], n, canvas, h, w,
+            tail_len_px, grid_radius, grid_cell, R,
+            span_start, span_count, span_row, span_x0, span_x1,
+            out_x + used, out_y + used, cap_pts - used,
+            frag_lens + nfrags, cap_frags - nfrags);
+        if (rc < 0) {
+            *out_done = c;
+            return rc;
+        }
+        frag_counts[c] = (int32_t)rc;
+        for (int64_t f = 0; f < rc; f++) used += frag_lens[nfrags + f];
+        nfrags += rc;
+    }
+    *out_done = k;
     return nfrags;
 }
 

@@ -12,6 +12,12 @@ import numpy as np
 
 
 def load_pickle(path: str) -> Any:
+    # in-process handoff: a stage that just wrote this artifact registered
+    # the live object; reuse it instead of re-decoding tens of MB from disk
+    # (stat-validated — resume/rerun/external rewrites fall back to the file)
+    obj = _fetch_pickle_handoff(path)
+    if obj is not _HANDOFF_MISS:
+        return obj
     with open(path, "rb") as f:
         return pickle.load(f)
 
@@ -20,6 +26,12 @@ def save_pickle(obj: Any, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump(obj, f)
+    # the file on disk stays the source of truth; the registry only skips
+    # the redundant re-read while the signature matches.  Consumers must
+    # treat loaded artifacts as immutable (they already do — every stage
+    # builds new arrays), because a later load_pickle may hand out the
+    # same object again.
+    _register_pickle_handoff(path, obj)
 
 
 def load_json(path: str) -> Any:
@@ -71,6 +83,46 @@ _DEVICE_HANDOFF_LOCK = threading.Lock()  # batch mode runs stages from threads
 def _stat_sig(path: str):
     st = os.stat(path)
     return (st.st_mtime_ns, st.st_size)
+
+
+# Host pickle handoff: same contract as the device registry below, for the
+# vector-stage artifacts (contours/lines pickles reach ~60 MB per layer at
+# 4K; each inter-stage disk round trip costs real time on this host).
+_PICKLE_HANDOFF: "OrderedDict[str, tuple]" = OrderedDict()
+_PICKLE_HANDOFF_CAP = 64
+_HANDOFF_MISS = object()
+
+
+def _register_pickle_handoff(path: str, obj) -> None:
+    try:
+        sig = _stat_sig(path)
+    except OSError:
+        return
+    key = os.path.abspath(path)
+    with _DEVICE_HANDOFF_LOCK:
+        _PICKLE_HANDOFF.pop(key, None)
+        _PICKLE_HANDOFF[key] = (sig, obj)
+        while len(_PICKLE_HANDOFF) > _PICKLE_HANDOFF_CAP:
+            _PICKLE_HANDOFF.popitem(last=False)
+
+
+def _fetch_pickle_handoff(path: str):
+    key = os.path.abspath(path)
+    with _DEVICE_HANDOFF_LOCK:
+        ent = _PICKLE_HANDOFF.get(key)
+    if ent is None:
+        return _HANDOFF_MISS
+    try:
+        fresh = _stat_sig(path) == ent[0]
+    except OSError:
+        fresh = False
+    with _DEVICE_HANDOFF_LOCK:
+        if not fresh:
+            _PICKLE_HANDOFF.pop(key, None)
+            return _HANDOFF_MISS
+        if key in _PICKLE_HANDOFF:
+            _PICKLE_HANDOFF.move_to_end(key)
+    return ent[1]
 
 
 def register_device_artifact(path: str, arr) -> None:

@@ -456,6 +456,107 @@ def _default_thinner(roi: np.ndarray) -> np.ndarray:
     return run()[:h, :w]
 
 
+def _virtual_draw_all_native(
+    kept, order, canvas, grid_radius, grid_cell, sample_step, tail_len_px, brush, log
+) -> Optional[List[List[np.ndarray]]]:
+    """Pass A over the whole layer in a handful of native calls.
+
+    Per-contour semantics identical to virtual_draw_cut (same resample, same
+    canvas/grid state machine — the C side loops the same core); the Python
+    per-contour overhead (~0.5 ms × thousands of contours at 4K) is what
+    this removes.  Returns fragments per ordered contour, or None when the
+    native library is unavailable (caller falls back to the exact loop).
+    Contours whose samples round off-canvas (or any native contract edge)
+    are replayed through the Python walker mid-sequence, preserving canvas
+    order exactly."""
+    from ..native.api import (  # noqa: PLC0415
+        _STAMP_CACHE, LineStampTable,
+        resample_batch_native, virtual_draw_batch_native,
+    )
+
+    k = len(order)
+    if k == 0:
+        return []
+    step = max(1.0, float(sample_step))
+    p32s = []
+    closed = np.zeros(k, np.uint8)
+    for j, i in enumerate(order):
+        p = ensure_open(kept[i]).reshape(-1, 2).astype(np.float32)
+        p32s.append(p)
+        closed[j] = 1 if (len(p) > 2 and bool(np.all(p[0] == p[-1]))) else 0
+    rs = resample_batch_native(p32s, closed, step)
+    if rs is None:
+        return None
+    sx, sy, soffs = rs
+
+    max_delta = int(math.ceil(step)) + 2
+    tkey = (int(brush), int(max_delta))
+    table = _STAMP_CACHE.get(tkey)
+    if table is None:
+        table = LineStampTable(int(brush), int(max_delta))
+        _STAMP_CACHE[tkey] = table
+
+    # same pre-screen as virtual_draw_native: off-canvas samples AND samples
+    # within the stamp extent of the border (cv2 thick lines are not
+    # translation-invariant once clipped) replay through the Python walker
+    h, w = canvas.shape
+    ext = table.extent
+    bad_contour = np.zeros(k, bool)
+    if len(sx):
+        rx = np.rint(sx)
+        ry = np.rint(sy)
+        bad = ((rx < ext) | (rx >= w - ext) | (ry < ext) | (ry >= h - ext)).astype(np.int32)
+        starts = np.minimum(soffs[:-1], max(0, len(bad) - 1))
+        cnt = np.add.reduceat(bad, starts)
+        cnt[(soffs[1:] - soffs[:-1]) == 0] = 0
+        bad_contour = cnt > 0
+    results: List[Optional[list]] = [None] * k
+    CHUNK = 512  # keep heartbeat logs flowing on huge layers
+    last_beat = time.perf_counter()
+    c = 0
+    while c < k:
+        if bad_contour[c]:
+            results[c] = virtual_draw_cut(
+                kept[order[c]], canvas, grid_radius, grid_cell, sample_step, tail_len_px, brush
+            )
+            c += 1
+        else:
+            e = c
+            while e < k and e - c < CHUNK and not bad_contour[e]:
+                e += 1
+            res = virtual_draw_batch_native(
+                sx, sy, soffs[c : e + 1], canvas,
+                grid_radius, grid_cell, tail_len_px, brush, max_delta,
+            )
+            if res is None:  # library vanished mid-run (not observed): the
+                # canvas already carries earlier contours, so finish this
+                # window through the exact Python walker instead of bailing
+                for i in range(c, e):
+                    results[i] = virtual_draw_cut(
+                        kept[order[i]], canvas, grid_radius, grid_cell,
+                        sample_step, tail_len_px, brush,
+                    )
+                c = e
+                continue
+            frags_per, ndone = res
+            for j, frags in enumerate(frags_per[: ndone]):
+                results[c + j] = frags
+            if ndone < e - c:
+                # native contract edge on contour c+ndone: Python replay
+                i = c + ndone
+                results[i] = virtual_draw_cut(
+                    kept[order[i]], canvas, grid_radius, grid_cell, sample_step, tail_len_px, brush
+                )
+                c = i + 1
+            else:
+                c = e
+        now = time.perf_counter()
+        if c == k or now - last_beat > 1.0:
+            last_beat = now
+            log(f"virtual draw {c}/{k}")
+    return results  # type: ignore[return-value]
+
+
 def dedup_layer(
     polys: List[np.ndarray],
     canvas_wh: Tuple[int, int],
@@ -485,20 +586,27 @@ def dedup_layer(
     kept, taps = classify_taps(polys, tap_diam, min_keep, tap_max_perimeter, tap_max_vertices, tap_max_dim)
 
     order = sorted(range(len(kept)), key=lambda i: perimeter_open(kept[i]), reverse=True)
+    per_contour = _virtual_draw_all_native(
+        kept, order, canvas, collision_radius, grid_cell, sample_step, tail_len_px, brush, log
+    )
+    if per_contour is None:
+        # no native library: the original per-contour loop (identical bytes)
+        per_contour = []
+        last_beat = time.perf_counter()
+        for idx, i in enumerate(order, 1):
+            per_contour.append(virtual_draw_cut(
+                kept[i], canvas, collision_radius, grid_cell, sample_step, tail_len_px, brush
+            ))
+            # time-based heartbeat (the reference prints every ~1.5 s, 08:524-535)
+            now = time.perf_counter()
+            if idx == len(order) or now - last_beat > 1.0:
+                last_beat = now
+                log(f"virtual draw {idx}/{len(order)}")
     cleaned: List[np.ndarray] = []
-    last_beat = time.perf_counter()
-    for idx, i in enumerate(order, 1):
-        frags = virtual_draw_cut(
-            kept[i], canvas, collision_radius, grid_cell, sample_step, tail_len_px, brush
-        )
+    for frags in per_contour:
         for f in frags:
             parts = split_on_jumps(f, max_jump, keep_singleton=True)
             cleaned.extend(parts if parts else [f])
-        # time-based heartbeat (the reference prints every ~1.5 s, 08:524-535)
-        now = time.perf_counter()
-        if idx == len(order) or now - last_beat > 1.0:
-            last_beat = now
-            log(f"virtual draw {idx}/{len(order)}")
 
     if order:
         lines, taps2 = classify_taps(cleaned, tap_diam, min_keep, tap_max_perimeter, tap_max_vertices, tap_max_dim)

@@ -42,7 +42,13 @@ def scale_polys(polys: List[np.ndarray], sx: float, sy: float, dx: float, dy: fl
         return out
     from .geometry import _chunk_ranges  # noqa: PLC0415
 
-    S = np.array([[sx, 0.0], [0.0, sy]], dtype=np.float32)
+    # the 2×2 matrix is diagonal, so the row-vector matmul reduces to an
+    # elementwise multiply: x·sx + y·0.0 == x·sx bit-for-bit for finite
+    # float32 coords (adding ±0.0 never changes a float except -0.0 → the
+    # truncating int cast maps both zeros to 0).  Multiply/add run in place
+    # on the one float32 copy — the matmul path materialized two extra
+    # ~60 MB temporaries per 4K spun layer.
+    S = np.array([sx, sy], dtype=np.float32)
     T = np.array([dx, dy], dtype=np.float32)
     for lo, hi in _chunk_ranges([p.reshape(-1, 2) for p in polys]):
         group = [p.reshape(-1, 2) for p in polys[lo:hi]]
@@ -50,6 +56,8 @@ def scale_polys(polys: List[np.ndarray], sx: float, sy: float, dx: float, dy: fl
         offs = np.zeros(len(group) + 1, np.int64)
         np.cumsum(lens, out=offs[1:])
         big = np.concatenate(group).astype(np.float32)
-        big = ((big @ S.T) + T).astype(np.int32)
+        np.multiply(big, S, out=big)
+        np.add(big, T, out=big)
+        big = big.astype(np.int32)
         out.extend(big[offs[i] : offs[i + 1]].reshape(-1, 1, 2) for i in range(len(group)))
     return out
