@@ -802,6 +802,37 @@ extern "C" int64_t pw_virtual_draw_batch(
     return nfrags;
 }
 
+// Batched arc length: sequential double accumulation per contour — exactly
+// cv2.arcLength's loop (the reference's 07:50 / 10:41-43 seed metric), and
+// exactly vector/geometry.py::arc_length (np.cumsum is sequential; numpy's
+// add.reduceat is NOT — its unrolled accumulation differs at the ulp from
+// n≈4 up, a latent argmax-seed risk the batch path previously carried).
+// Products and sums stay un-fused (-ffp-contract=off in the build).
+extern "C" void pw_arc_batch(
+    const int32_t* xy,             // concatenated (n, 2) int32 vertices
+    const int64_t* offs, int64_t k,
+    const uint8_t* closed,         // add the closing segment
+    double* out)
+{
+    for (int64_t c = 0; c < k; c++) {
+        const int32_t* p = xy + 2 * offs[c];
+        int64_t n = offs[c + 1] - offs[c];
+        if (n < 2) { out[c] = 0.0; continue; }
+        double tot = 0.0;
+        for (int64_t j = 0; j + 1 < n; j++) {
+            double dx = (double)p[2 * j + 2] - (double)p[2 * j];
+            double dy = (double)p[2 * j + 3] - (double)p[2 * j + 1];
+            tot += std::sqrt(dx * dx + dy * dy);
+        }
+        if (closed[c]) {
+            double dx = (double)p[0] - (double)p[2 * (n - 1)];
+            double dy = (double)p[1] - (double)p[2 * (n - 1) + 1];
+            tot += std::sqrt(dx * dx + dy * dy);
+        }
+        out[c] = tot;
+    }
+}
+
 // ------------------------------------------------- Zhang–Suen thinning
 //
 // Bit-identical to plotweave.ops.thinning.zhang_suen (which itself matches

@@ -117,32 +117,42 @@ def _chunk_ranges(ptss: List[np.ndarray], max_pts: int = _CHUNK_PTS):
 
 
 def batch_arc_length(ptss: List[np.ndarray], closed: np.ndarray) -> np.ndarray:
-    """arc_length() per contour (float64); ``closed`` adds the closing seg."""
+    """arc_length() per contour (float64); ``closed`` adds the closing seg.
+
+    The accumulation must be SEQUENTIAL to match cv2.arcLength (the
+    reference's 07:50 / 10:41-43 seed metric): numpy's add.reduceat — the
+    previous batch machinery — accumulates with unrolled partial sums that
+    differ from the sequential sum at the ulp from n≈4 up, a latent
+    argmax-seed risk.  The native pw_arc_batch runs the exact C++ loop over
+    the concatenated int32 contours; without the library, the per-contour
+    scalar (np.cumsum is sequential) is the fallback."""
     if not ptss:
         return np.zeros(0)
     closed = np.asarray(closed, bool)
-    if len(ptss) and sum(len(p) for p in ptss) > _CHUNK_PTS:
-        out = np.zeros(len(ptss))
-        for lo, hi in _chunk_ranges(ptss):
-            out[lo:hi] = batch_arc_length(ptss[lo:hi], closed[lo:hi])
+    from ..native.loader import bind_skeleton_ops, get_lib  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is not None and all(np.asarray(p).dtype == np.int32 for p in ptss):
+        import ctypes  # noqa: PLC0415
+
+        bind_skeleton_ops(lib)
+        if len(ptss) == 1:
+            big = np.ascontiguousarray(np.asarray(ptss[0]).reshape(-1, 2))
+            offs = np.array([0, len(big)], np.int64)
+        else:
+            big, offs = _concat_pts(ptss, None)
+            big = np.ascontiguousarray(big)
+        out = np.empty(len(ptss))
+        cl = np.ascontiguousarray(closed, np.uint8)
+        lib.pw_arc_batch(
+            big.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(ptss),
+            cl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
         return out
-    big, offs = _concat_pts(ptss, np.float64)
-    d = big[1:] - big[:-1]
-    seg = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
-    # rows crossing contour boundaries (and a pad for reduceat's tail) are
-    # zeroed: one extra sequential +0.0 — exact for these non-negative sums
-    seg = np.concatenate([seg, [0.0]])
-    seg[offs[1:-1] - 1] = 0.0
-    starts = np.minimum(offs[:-1], len(seg) - 1)
-    totals = np.add.reduceat(seg, starts)
-    short = (offs[1:] - offs[:-1]) < 2
-    totals[short] = 0.0
-    dx = big[offs[:-1], 0] - big[np.maximum(offs[1:] - 1, offs[:-1]), 0]
-    dy = big[offs[:-1], 1] - big[np.maximum(offs[1:] - 1, offs[:-1]), 1]
-    closing = np.sqrt(dx * dx + dy * dy)
-    cl = np.asarray(closed, bool) & ~short
-    totals[cl] = totals[cl] + closing[cl]
-    return totals
+    return np.array([arc_length(p, bool(c)) for p, c in zip(ptss, closed)], np.float64)
 
 
 def batch_perimeter_open(ptss: List[np.ndarray]) -> np.ndarray:

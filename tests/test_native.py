@@ -312,3 +312,23 @@ def test_native_greedy_order_fuzz_identical():
                 vsort._greedy_order_native = orig
                 os.environ.pop("_PW_TEST", None)
             assert native == (py[0], py[1]) or (list(native[0]), list(native[1])) == (py[0], py[1])
+
+
+def test_batch_arc_length_sequential_exact():
+    """batch_arc_length must equal the scalar arc_length (cv2.arcLength's
+    sequential double accumulation) BIT-exactly — np.add.reduceat-style
+    unrolled sums differ at the ulp from n≈4 up, which is an argmax-seed
+    risk in the stage-07/10 greedy ordering."""
+    from plotweave.vector.geometry import arc_length, batch_arc_length
+
+    rng = np.random.default_rng(3)
+    for trial in range(60):
+        k = int(rng.integers(1, 30))
+        ptss = [
+            rng.integers(-13000, 13000, (int(rng.integers(0, 50)), 2)).astype(np.int32)
+            for _ in range(k)
+        ]
+        closed = rng.random(k) < 0.5
+        a = batch_arc_length(ptss, closed)
+        c = np.array([arc_length(p, bool(cl)) for p, cl in zip(ptss, closed)])
+        np.testing.assert_array_equal(a, c, err_msg=f"trial {trial}")
