@@ -88,7 +88,7 @@ def _find_period(pts: np.ndarray):
 
 
 def _draw_polyline_periodic(img, pts: np.ndarray, color, thickness: int, lt,
-                            found=None) -> bool:
+                            found=None, batch=None, flush=None) -> bool:
     """Draw a long spun polyline with fixpoint elision; False → caller draws
     it plainly.
 
@@ -97,7 +97,15 @@ def _draw_polyline_periodic(img, pts: np.ndarray, color, thickness: int, lt,
     original order), and the tail.  AA blending is a deterministic
     canvas→canvas map, so once one pass leaves its region unchanged every
     remaining identical pass is a no-op — elision is byte-exact, not an
-    approximation (fuzz-pinned: tests/test_previews_periodic.py)."""
+    approximation (fuzz-pinned: tests/test_previews_periodic.py).
+
+    When the caller's pending ordinary ``batch`` (+ ``flush``) is provided,
+    the prefix joins it (one cv2 call instead of two) and the tail is left
+    in the batch for the caller's next flush — draw order is unchanged
+    because cv2.polylines renders its list sequentially.  Repeat passes run
+    in geometrically growing groups ([period]*g per call) with the fixpoint
+    check per group: any pass beyond the fixpoint inside a group is a no-op,
+    so the final bytes are identical to the pass-by-pass loop."""
     if found is None:
         found = _find_period(pts)
     if found is None:
@@ -110,15 +118,27 @@ def _draw_polyline_periodic(img, pts: np.ndarray, color, thickness: int, lt,
     h, w = img.shape[:2]
     x0, y0 = max(0, int(x0)), max(0, int(y0))
     x1, y1 = min(w, int(x1)), min(h, int(y1))
-    cv2.polylines(img, [pts[: s + T + 1].reshape(-1, 1, 2)], False, color, thickness, lt)
-    for _ in range(k - 1):
+    prefix = pts[: s + T + 1].reshape(-1, 1, 2)
+    if batch is not None:
+        batch.append(prefix)
+        flush()
+    else:
+        cv2.polylines(img, [prefix], False, color, thickness, lt)
+    done, group = 0, 1
+    while done < k - 1:
+        g = min(group, k - 1 - done)
         before = img[y0:y1, x0:x1].copy()
-        cv2.polylines(img, [period], False, color, thickness, lt)
+        cv2.polylines(img, [period] * g, False, color, thickness, lt)
+        done += g
         if (img[y0:y1, x0:x1] == before).all():
             break  # fixpoint: every further identical pass is a no-op
+        group <<= 1
     tail = pts[s + k * T :]
     if len(tail) >= 2:
-        cv2.polylines(img, [tail.reshape(-1, 1, 2)], False, color, thickness, lt)
+        if batch is not None:
+            batch.append(tail.reshape(-1, 1, 2))  # next flush keeps the order
+        else:
+            cv2.polylines(img, [tail.reshape(-1, 1, 2)], False, color, thickness, lt)
     return True
 
 
@@ -154,7 +174,6 @@ def render_layer(
         if len(a) < 2:
             continue
         if len(a) >= _PERIODIC_MIN:
-            flush()  # preserve draw order around the special-path polyline
             # period structure depends only on the points — memoize it across
             # the per-layer black and palette-colored renders (id(p) is
             # stable: the caller holds the lines list for both renders)
@@ -164,7 +183,8 @@ def render_layer(
                 if period_memo is not None:
                     period_memo[id(p)] = found
             if found is None or not _draw_polyline_periodic(
-                img, a[:, 0, :], color, thickness, lt, found=found
+                img, a[:, 0, :], color, thickness, lt, found=found,
+                batch=batch, flush=flush,
             ):
                 batch.append(a)
         else:
