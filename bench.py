@@ -54,7 +54,16 @@ BACKOFF_S = (5.0, 15.0, 30.0, 60.0)
 WATCHDOG_S = float(os.environ.get("PW_BENCH_WATCHDOG_S", "2400"))
 PROBE_ATTEMPT_S = float(os.environ.get("PW_BENCH_PROBE_ATTEMPT_S", "120"))
 
+# The tunnel can be dead for HOURS (observed round 3).  Rather than record an
+# error line for the whole round, the e2e benchmark falls back to measuring
+# the same pipeline pinned to the host CPU backend (raster_device=cpu — the
+# total escape hatch that never initializes the default backend, so a hung
+# axon plugin can't block it).  The result is explicitly labeled
+# "backend": "cpu-fallback" so it is never mistaken for a chip number.
+CPU_FALLBACK_S = float(os.environ.get("PW_BENCH_CPU_FALLBACK_S", "1800"))
+
 _BEST: dict = {}  # best completed result so far, emitted by the watchdog
+_FB_STATE: dict = {}  # CPU-fallback bookkeeping: "attempted", "deadline"
 _DONE = threading.Event()
 _EMIT_LOCK = threading.Lock()  # exactly-one-JSON-line: main vs watchdog race
 _HARD_EXIT = False  # set by main(): os._exit instead of SystemExit
@@ -78,22 +87,35 @@ def _emit(obj: dict, rc: int) -> None:
     raise SystemExit(rc)
 
 
-def _start_watchdog(metric: str) -> None:
-    """Arm the global deadline (idempotent per process)."""
+def _start_watchdog(metric: str, fallback=None) -> None:
+    """Arm the global deadline (idempotent per process).  ``fallback``, when
+    given, is a zero-arg callable producing a metric dict (or None) — tried
+    once as a last resort if the deadline passes with no completed run."""
     if getattr(_start_watchdog, "armed", False):
         return
     _start_watchdog.armed = True
 
     def fire():
-        if _DONE.wait(WATCHDOG_S):
-            return
+        deadline = time.monotonic() + WATCHDOG_S
+        while True:
+            step = min(30.0, max(0.0, deadline - time.monotonic()))
+            if _DONE.wait(step):
+                return
+            # a CPU fallback launched by the main thread extends the deadline
+            # (the fallback subprocess is itself bounded by CPU_FALLBACK_S)
+            deadline = max(deadline, _FB_STATE.get("deadline", 0.0))
+            if time.monotonic() >= deadline:
+                break
         _log(f"watchdog: {WATCHDOG_S:.0f}s deadline hit")
         if _BEST.get("value") is not None:
             _emit(dict(_BEST), 0)
-        else:
-            _emit({"metric": metric,
-                   "error": f"no run completed within {WATCHDOG_S:.0f}s "
-                            "(tunnel/device hang)"}, 1)
+        if fallback is not None and not _FB_STATE.get("attempted"):
+            obj = fallback()
+            if obj is not None:
+                _emit(obj, 0)
+        _emit({"metric": metric,
+               "error": f"no run completed within {WATCHDOG_S:.0f}s "
+                        "(tunnel/device hang)"}, 1)
 
     threading.Thread(target=fire, name="bench-watchdog", daemon=True).start()
 
@@ -164,6 +186,56 @@ def probe_chip(attempts: int = len(BACKOFF_S) + 1) -> float:
     return rtt
 
 
+def _extract_metric(stdout: str, metric: str):
+    """Last parseable JSON line in ``stdout`` carrying ``metric`` + a value."""
+    for line in reversed((stdout or "").strip().splitlines()):
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and obj.get("metric") == metric and obj.get("value") is not None:
+            return obj
+    return None
+
+
+def _cpu_fallback(metric: str, reason: str):
+    """Measure the same e2e pipeline in a FRESH subprocess pinned to the host
+    CPU backend and return its parsed metric line (labeled), or None.
+
+    A fresh process matters: this process's probe already tried to initialize
+    the default (axon) backend and may be wedged inside it; the subprocess
+    runs ``bench.py --cpu-inner`` → raster_device=cpu, which never initializes
+    the default backend at all (the tunnel-down escape hatch,
+    tests/test_raster_device.py).  A real measured host number — honestly
+    labeled — beats an error line when the tunnel is dead for hours."""
+    import subprocess  # noqa: PLC0415
+
+    _FB_STATE["attempted"] = True
+    _FB_STATE["deadline"] = time.monotonic() + CPU_FALLBACK_S + 120.0
+    _log(f"CPU fallback ({reason}): measuring with raster_device=cpu in a subprocess")
+    env = dict(os.environ)
+    # the inner watchdog must fire before our subprocess timeout so the inner
+    # process emits its best completed run rather than being killed mid-flight
+    env["PW_BENCH_WATCHDOG_S"] = str(max(120.0, CPU_FALLBACK_S - 120.0))
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-inner"],
+            stdout=subprocess.PIPE, stderr=sys.stderr,
+            timeout=CPU_FALLBACK_S, env=env, text=True,
+        )
+    except BaseException as e:  # noqa: BLE001 — fall through to the error line
+        _log(f"CPU fallback subprocess failed: {type(e).__name__}: {e}")
+        return None
+    obj = _extract_metric(p.stdout, metric)
+    if obj is None:
+        _log(f"CPU fallback produced no metric line (rc={p.returncode})")
+        return None
+    obj["backend"] = "cpu-fallback"
+    obj["note"] = (f"device unreachable ({reason}); same pipeline measured on "
+                   "the host CPU backend via raster_device=cpu")
+    return obj
+
+
 def synth_image(h=1500, w=2000, seed=0):
     import cv2
 
@@ -181,7 +253,7 @@ def synth_image(h=1500, w=2000, seed=0):
     return img
 
 
-def _make_e2e_runner(device_init: bool):
+def _make_e2e_runner(device_init: bool, raster_device: str | None = None):
     """Build (runner, cleanup, mpx): runner(tag) runs the full pipeline into a
     fresh output dir and returns wall seconds.  Fresh dir per call so a failed
     attempt never leaves half-written artifacts for the retry."""
@@ -225,6 +297,8 @@ def _make_e2e_runner(device_init: bool):
         }
         if device_init:
             cfg_d["kmeans_init"] = "device"
+        if raster_device:
+            cfg_d["raster_device"] = raster_device
         os.makedirs(out, exist_ok=True)
         with open(f"{out}/config.json", "w") as f:
             _json.dump(cfg_d, f)
@@ -239,17 +313,23 @@ def _make_e2e_runner(device_init: bool):
     return runner, cleanup, H * W / 1e6
 
 
-def bench_e2e(device_init: bool = False, runner_factory=None, probe=probe_chip) -> None:
+def bench_e2e(device_init: bool = False, runner_factory=None, probe=probe_chip,
+              raster_device: str | None = None, cpu_fallback: bool = False) -> None:
     """Primary benchmark: full image→stream pipeline Mpx/s.
 
     Baseline measured on this host: the reference pipeline (steps 1–13,
     subprocess-per-step, single-core cv2) on the same 1024×768 4-color image:
     189.5 s → 0.0042 Mpx/s.  ``runner_factory``/``probe`` are injectable for
-    the resilience tests (tests/test_bench_resilience.py).
+    the resilience tests (tests/test_bench_resilience.py).  ``cpu_fallback``
+    (CLI default) reroutes a dead/hung device to a labeled host-CPU
+    measurement instead of an error line; ``raster_device`` pins the pipeline
+    backend (the ``--cpu-inner`` mode of that fallback).
     """
     ref_mpx_s = 0.0042
     metric = "e2e_image_to_stream_megapixels_per_sec"
-    _start_watchdog(metric)
+    fb = (lambda: _cpu_fallback(metric, f"no run completed within {WATCHDOG_S:.0f}s")) \
+        if cpu_fallback else None
+    _start_watchdog(metric, fallback=fb)
 
     def record_best(dt: float) -> None:
         v = mpx / dt
@@ -260,14 +340,25 @@ def bench_e2e(device_init: bool = False, runner_factory=None, probe=probe_chip) 
     try:
         probe()
     except BaseException as e:  # noqa: BLE001
+        if cpu_fallback:
+            obj = _cpu_fallback(metric, f"device probe failed: {e}")
+            if obj is not None:
+                _emit(obj, 0)
         _emit({"metric": metric, "error": f"device probe failed: {e}"}, 1)
 
-    runner, cleanup, mpx = (runner_factory or _make_e2e_runner)(device_init)
+    if runner_factory is not None:  # test seam: factories take device_init only
+        runner, cleanup, mpx = runner_factory(device_init)
+    else:
+        runner, cleanup, mpx = _make_e2e_runner(device_init, raster_device)
     try:
         # warmup fills the persistent compile cache; its wall time also serves
         # as the best-completed-run fallback if both timed runs then fail
         warm, err = _retrying("warmup", lambda: runner("warmup"))
         if warm is None:
+            if cpu_fallback:
+                obj = _cpu_fallback(metric, f"warmup never completed: {err}")
+                if obj is not None:
+                    _emit(obj, 0)
             _emit({"metric": metric, "error": f"warmup never completed: {err}"}, 1)
         record_best(warm)
 
@@ -286,15 +377,15 @@ def bench_e2e(device_init: bool = False, runner_factory=None, probe=probe_chip) 
         cleanup()
 
     value = mpx / dt
-    _emit(
-        {
-            "metric": metric,
-            "value": round(value, 4),
-            "unit": "Mpx/s",
-            "vs_baseline": round(value / ref_mpx_s, 2),
-        },
-        0,
-    )
+    obj = {
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": "Mpx/s",
+        "vs_baseline": round(value / ref_mpx_s, 2),
+    }
+    if raster_device == "cpu":
+        obj["backend"] = "cpu"
+    _emit(obj, 0)
 
 
 def bench_frontend() -> None:
@@ -366,9 +457,15 @@ def main() -> None:
     # --frontend measures the fused stage-01–04 device program in isolation.
     if "--frontend" in sys.argv:
         bench_frontend()
+    elif "--cpu-inner" in sys.argv:
+        # the CPU-fallback subprocess: same pipeline pinned to the host CPU
+        # backend (raster_device=cpu never initializes the default backend,
+        # so a hung axon tunnel cannot block it); no probe, no re-fallback
+        bench_e2e(probe=lambda: None, raster_device="cpu")
     else:
-        # --device-init: the opt-in single-dispatch stage-02 production mode
-        bench_e2e(device_init="--device-init" in sys.argv)
+        # --device-init: the opt-in single-dispatch stage-02 production mode;
+        # a dead/hung device reroutes to the labeled host-CPU measurement
+        bench_e2e(device_init="--device-init" in sys.argv, cpu_fallback=True)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,7 @@ def _fresh_watchdog_state():
 
     bench._DONE = threading.Event()
     bench._BEST.clear()
+    bench._FB_STATE.clear()
     bench._start_watchdog.armed = False
     yield
     bench._DONE.set()  # release any armed watchdog thread promptly
@@ -171,6 +172,127 @@ def test_watchdog_emits_best_when_timed_runs_hang(capsys, monkeypatch):
     assert len(out) == 1, f"exactly one JSON line, got {out}"
     obj = json.loads(out[0])
     assert obj["value"] == pytest.approx(0.786432 / 2.0, abs=1e-3)
+
+
+def test_probe_failure_routes_to_cpu_fallback(capsys, monkeypatch):
+    """A dead tunnel (probe exhausts retries) with cpu_fallback enabled must
+    emit the labeled host-CPU measurement, not an error line."""
+    fb_calls = []
+
+    def fake_fallback(metric, reason):
+        fb_calls.append(reason)
+        return {"metric": metric, "value": 0.5, "unit": "Mpx/s",
+                "vs_baseline": 119.05, "backend": "cpu-fallback", "note": reason}
+
+    monkeypatch.setattr(bench, "_cpu_fallback", fake_fallback)
+
+    def probe():
+        raise _FakeFailedPrecondition("no route to chip")
+
+    def factory(device_init):
+        return (lambda tag: 1.0), lambda: None, 0.786432
+
+    with pytest.raises(SystemExit) as ei:
+        bench.bench_e2e(runner_factory=factory, probe=probe, cpu_fallback=True)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    obj = json.loads(out[0])
+    assert ei.value.code == 0
+    assert obj["backend"] == "cpu-fallback"
+    assert obj["value"] == 0.5
+    assert fb_calls and "probe failed" in fb_calls[0]
+
+
+def test_cpu_fallback_failure_still_emits_error_json(capsys, monkeypatch):
+    monkeypatch.setattr(bench, "_cpu_fallback", lambda metric, reason: None)
+
+    def probe():
+        raise _FakeFailedPrecondition("no route to chip")
+
+    def factory(device_init):
+        return (lambda tag: 1.0), lambda: None, 0.786432
+
+    with pytest.raises(SystemExit) as ei:
+        bench.bench_e2e(runner_factory=factory, probe=probe, cpu_fallback=True)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    assert ei.value.code == 1
+    assert "probe failed" in json.loads(out[0])["error"]
+
+
+def test_watchdog_tries_cpu_fallback_when_nothing_completed(capsys, monkeypatch):
+    """Probe OK but the first (warmup) run hangs forever: the watchdog must
+    try the CPU fallback once and emit its labeled result."""
+    monkeypatch.setattr(bench, "WATCHDOG_S", 0.3)
+
+    def fake_fallback(metric, reason):
+        bench._FB_STATE["attempted"] = True
+        return {"metric": metric, "value": 0.4, "unit": "Mpx/s",
+                "vs_baseline": 95.24, "backend": "cpu-fallback", "note": reason}
+
+    monkeypatch.setattr(bench, "_cpu_fallback", fake_fallback)
+
+    import threading
+
+    def runner(tag):
+        threading.Event().wait(3.0)  # hang far past the watchdog deadline
+        return 1.0
+
+    def factory(device_init):
+        return runner, lambda: None, 0.786432
+
+    t = threading.Thread(
+        target=lambda: pytest.raises(BaseException, bench.bench_e2e,
+                                     runner_factory=factory, probe=lambda: 0.01,
+                                     cpu_fallback=True),
+        daemon=True,
+    )
+    t.start()
+    deadline = 5.0
+    import time as real_time
+
+    t0 = real_time.perf_counter()
+    while not bench._DONE.is_set() and real_time.perf_counter() - t0 < deadline:
+        real_time.sleep(0.05)
+    assert bench._DONE.is_set(), "watchdog never emitted"
+    real_time.sleep(0.1)  # let the output flush
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    obj = json.loads(out[0])
+    assert obj["backend"] == "cpu-fallback"
+    assert obj["value"] == 0.4
+
+
+def test_extract_metric_scans_last_parseable_line():
+    m = "e2e_image_to_stream_megapixels_per_sec"
+    stdout = "\n".join([
+        "noise",
+        json.dumps({"metric": m, "value": 0.1, "unit": "Mpx/s"}),
+        "[bench] log line",
+        json.dumps({"metric": m, "value": 0.2, "unit": "Mpx/s"}),
+        "{broken json",
+    ])
+    assert bench._extract_metric(stdout, m)["value"] == 0.2
+    assert bench._extract_metric("no json here", m) is None
+    # error lines (no value) don't count
+    assert bench._extract_metric(json.dumps({"metric": m, "error": "x"}), m) is None
+
+
+def test_cpu_inner_runner_pins_raster_device(tmp_path, monkeypatch):
+    """--cpu-inner must flow raster_device=cpu into the pipeline config."""
+    captured = {}
+
+    def fake_runner_factory(device_init, raster_device=None):
+        captured["raster_device"] = raster_device
+        raise _Stop()
+
+    class _Stop(Exception):
+        pass
+
+    monkeypatch.setattr(bench, "_make_e2e_runner", fake_runner_factory)
+    with pytest.raises(_Stop):
+        bench.bench_e2e(probe=lambda: None, raster_device="cpu")
+    assert captured["raster_device"] == "cpu"
 
 
 def test_probe_retries_then_succeeds(monkeypatch, _no_sleep):
