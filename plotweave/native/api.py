@@ -335,13 +335,13 @@ def resample_batch_native(p32s, closed_flags, step: float) -> Optional[Tuple[np.
 
     dp = ctypes.POINTER(ctypes.c_double)
     i64p = ctypes.POINTER(ctypes.c_int64)
-    # sample count ≈ arc length / step per contour; a float64 segment-sum
-    # upper bound (padded — the float32 cumsum can drift either way by far
-    # less than 1%) sizes the buffer right on the first try
-    d = np.diff(big, axis=0).astype(np.float64)
-    seg = np.hypot(d[:, 0], d[:, 1])
-    est = seg.sum() / max(1e-9, float(step))  # cross-boundary segs only pad
-    cap = int(offs[-1] + est * 1.01 + 8 * k + 64)
+    # sample count ≈ arc length / step per contour; the L1 segment sum
+    # (|dx|+|dy| ≥ √(dx²+dy²) per segment) upper-bounds it without the
+    # float64 hypot pass that measured ~0.1 s on a spun 4K layer — the ≤41%
+    # buffer overshoot is cheap next to a capacity-retry re-walk
+    d = np.diff(big, axis=0)
+    est = float(np.abs(d, out=d).sum(dtype=np.float64)) / max(1e-9, float(step))
+    cap = int(offs[-1] + est * 1.01 + 8 * k + 64)  # cross-boundary segs only pad
     for _ in range(8):
         out_x = np.empty(cap, np.float64)
         out_y = np.empty(cap, np.float64)

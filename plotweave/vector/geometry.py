@@ -52,11 +52,16 @@ def is_closed(poly: np.ndarray) -> bool:
 
 
 def ensure_open(poly: np.ndarray) -> np.ndarray:
-    """Drop a duplicated closing vertex; (N,1,2) int32 out (08:48-51)."""
+    """Drop a duplicated closing vertex; (N,1,2) int32 out (08:48-51).
+
+    Already-int32 inputs come back as a VIEW (no copy): every caller only
+    reads the result (resampling/rasterizing into fresh arrays), and the
+    spun 4K contours run to 60 MB each — an unconditional astype copy here
+    measured ~0.1 s/layer-set."""
     p = as_pts(poly)
     if len(p) >= 2 and np.all(p[0] == p[-1]):
         p = p[:-1]
-    return p.reshape(-1, 1, 2).astype(np.int32)
+    return p.reshape(-1, 1, 2).astype(np.int32, copy=False)
 
 
 def bbox(poly: np.ndarray) -> Tuple[int, int, int, int]:
@@ -89,9 +94,13 @@ def _concat_pts(ptss: List[np.ndarray], dtype) -> Tuple[np.ndarray, np.ndarray]:
     lens = np.fromiter((len(p) for p in ptss), np.int64, count=len(ptss))
     offs = np.zeros(len(ptss) + 1, np.int64)
     np.cumsum(lens, out=offs[1:])
-    big = np.concatenate([np.asarray(p).reshape(-1, 2) for p in ptss])
+    arrs = [np.asarray(p).reshape(-1, 2) for p in ptss]
     if dtype is not None:
-        big = big.astype(dtype, copy=False)
+        # cast during the concatenation pass (skips a full-size temporary);
+        # int32→float32 is exact for pixel coords (< 2^24)
+        big = np.concatenate(arrs, dtype=dtype)
+    else:
+        big = np.concatenate(arrs)
     return big, offs
 
 

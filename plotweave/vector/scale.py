@@ -55,7 +55,9 @@ def scale_polys(polys: List[np.ndarray], sx: float, sy: float, dx: float, dy: fl
         lens = np.fromiter((g.shape[0] for g in group), np.int64, count=len(group))
         offs = np.zeros(len(group) + 1, np.int64)
         np.cumsum(lens, out=offs[1:])
-        big = np.concatenate(group).astype(np.float32)
+        # cast during the concatenation pass: int32→float32 is exact for
+        # pixel coords (< 2^24) and skips a second full-size temporary
+        big = np.concatenate(group, dtype=np.float32)
         np.multiply(big, S, out=big)
         np.add(big, T, out=big)
         big = big.astype(np.int32)
