@@ -161,29 +161,52 @@ def _retrying(label: str, fn, attempts: int = len(BACKOFF_S) + 1):
     return None, last
 
 
-def probe_chip(attempts: int = len(BACKOFF_S) + 1) -> float:
+def probe_chip(attempts: int = len(BACKOFF_S) + 1, hang_attempts: int = 2) -> float:
     """Health-check the device with a trivial op + HOST FETCH round trip
     (the CLAUDE.md "healthy-tunnel sanity check").  Returns the round-trip
-    seconds; raises after ``attempts`` failures."""
+    seconds; raises after ``attempts`` failures.
 
-    def one() -> float:
-        def roundtrip() -> float:
-            import jax.numpy as jnp  # noqa: PLC0415
+    Failure modes differ: transient ERRORS (FAILED_PRECONDITION while another
+    tenant holds the chip) clear within the backoff ladder, so they get all
+    ``attempts``; a HANG (deadline timeout) means the tunnel is wedged — that
+    state persists for hours when observed, so after ``hang_attempts`` hangs
+    the probe gives up early and lets the caller reach its CPU fallback while
+    any external capture timeout still has headroom."""
+    last = None
+    hangs = 0
+    for i in range(attempts):
+        try:
 
-            t0 = time.perf_counter()
-            v = float(np.asarray(jnp.sum(jnp.arange(8.0))))
-            if v != 28.0:
-                raise RuntimeError(f"probe computed {v}, expected 28.0")
-            return time.perf_counter() - t0
+            def roundtrip() -> float:
+                import jax.numpy as jnp  # noqa: PLC0415
 
-        # the tunnel can hang outright — bound every attempt
-        return _deadline("probe", roundtrip, PROBE_ATTEMPT_S)
+                t0 = time.perf_counter()
+                v = float(np.asarray(jnp.sum(jnp.arange(8.0))))
+                if v != 28.0:
+                    raise RuntimeError(f"probe computed {v}, expected 28.0")
+                return time.perf_counter() - t0
 
-    rtt, err = _retrying("probe", one, attempts)
-    if rtt is None:
-        raise RuntimeError(f"chip probe failed after {attempts} attempts: {err!r}")
-    _log(f"chip healthy; probe round trip {rtt * 1e3:.0f} ms")
-    return rtt
+            # the tunnel can hang outright — bound every attempt
+            rtt = _deadline("probe", roundtrip, PROBE_ATTEMPT_S)
+            _log(f"chip healthy; probe round trip {rtt * 1e3:.0f} ms")
+            return rtt
+        except KeyboardInterrupt:
+            raise
+        except BaseException as e:  # noqa: BLE001 — reported to the caller
+            last = e
+            _log(f"probe: attempt {i + 1}/{attempts} failed: {type(e).__name__}: {e}")
+            if isinstance(e, TimeoutError):
+                hangs += 1
+                if hangs >= hang_attempts:
+                    raise RuntimeError(
+                        f"chip probe failed: hung {hangs}× "
+                        f"(deadline {PROBE_ATTEMPT_S:.0f}s each): {e}"
+                    ) from e
+            if i + 1 < attempts:
+                delay = BACKOFF_S[min(i, len(BACKOFF_S) - 1)]
+                _log(f"probe: retrying in {delay:.0f}s")
+                time.sleep(delay)
+    raise RuntimeError(f"chip probe failed after {attempts} attempts: {last!r}")
 
 
 def _extract_metric(stdout: str, metric: str):
