@@ -833,6 +833,35 @@ extern "C" void pw_arc_batch(
     }
 }
 
+// Zero-copy variant: per-contour base pointers instead of one concatenated
+// buffer.  Identical math/accumulation order to pw_arc_batch — callers pass
+// the contours' own (C-contiguous int32 (n,2)) storage, skipping the
+// multi-MB concat copy that poster-scale spun layers otherwise pay per call.
+extern "C" void pw_arc_batch_ptrs(
+    const int32_t* const* ptrs,    // k per-contour (n_c, 2) int32 buffers
+    const int64_t* lens, int64_t k,
+    const uint8_t* closed,
+    double* out)
+{
+    for (int64_t c = 0; c < k; c++) {
+        const int32_t* p = ptrs[c];
+        int64_t n = lens[c];
+        if (n < 2) { out[c] = 0.0; continue; }
+        double tot = 0.0;
+        for (int64_t j = 0; j + 1 < n; j++) {
+            double dx = (double)p[2 * j + 2] - (double)p[2 * j];
+            double dy = (double)p[2 * j + 3] - (double)p[2 * j + 1];
+            tot += std::sqrt(dx * dx + dy * dy);
+        }
+        if (closed[c]) {
+            double dx = (double)p[0] - (double)p[2 * (n - 1)];
+            double dy = (double)p[1] - (double)p[2 * (n - 1) + 1];
+            tot += std::sqrt(dx * dx + dy * dy);
+        }
+        out[c] = tot;
+    }
+}
+
 // ------------------------------------------------- Zhang–Suen thinning
 //
 // Bit-identical to plotweave.ops.thinning.zhang_suen (which itself matches

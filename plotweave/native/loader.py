@@ -242,6 +242,13 @@ def bind_skeleton_ops(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.pw_arc_batch_ptrs.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double),
+    ]
     lib.pw_greedy_order.argtypes = [
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),

@@ -145,17 +145,18 @@ def batch_arc_length(ptss: List[np.ndarray], closed: np.ndarray) -> np.ndarray:
         import ctypes  # noqa: PLC0415
 
         bind_skeleton_ops(lib)
-        if len(ptss) == 1:
-            big = np.ascontiguousarray(np.asarray(ptss[0]).reshape(-1, 2))
-            offs = np.array([0, len(big)], np.int64)
-        else:
-            big, offs = _concat_pts(ptss, None)
-            big = np.ascontiguousarray(big)
+        # zero-copy: hand the C loop each contour's own storage instead of
+        # concatenating (poster-scale spun layers are tens of MB — the concat
+        # copy dominated this call and swings badly with the host's episodic
+        # page-fault phases).  Same loop, same accumulation order.
+        arrs = [np.ascontiguousarray(np.asarray(p).reshape(-1, 2)) for p in ptss]
+        ptrs = np.fromiter((a.ctypes.data for a in arrs), np.uintp, count=len(arrs))
+        lens = np.fromiter((len(a) for a in arrs), np.int64, count=len(arrs))
         out = np.empty(len(ptss))
         cl = np.ascontiguousarray(closed, np.uint8)
-        lib.pw_arc_batch(
-            big.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lib.pw_arc_batch_ptrs(
+            ptrs.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(ptss),
             cl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
