@@ -332,3 +332,14 @@ def test_batch_arc_length_sequential_exact():
         a = batch_arc_length(ptss, closed)
         c = np.array([arc_length(p, bool(cl)) for p, cl in zip(ptss, closed)])
         np.testing.assert_array_equal(a, c, err_msg=f"trial {trial}")
+
+    # the zero-copy native path (pw_arc_batch_ptrs) hands the C loop each
+    # contour's own storage — pin the non-contiguous / oddly-shaped inputs
+    # that force its ascontiguousarray fallback: reversed views, every-other
+    # row slices, and the pipeline's (N, 1, 2) contour layout
+    base = rng.integers(-13000, 13000, (41, 2)).astype(np.int32)
+    ptss = [base[::-1], base[::2], base.reshape(-1, 1, 2), base[5:29]]
+    closed = np.array([True, False, True, False])
+    a = batch_arc_length(ptss, closed)
+    c = np.array([arc_length(p, bool(cl)) for p, cl in zip(ptss, closed)])
+    np.testing.assert_array_equal(a, c)
