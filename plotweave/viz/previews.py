@@ -21,8 +21,14 @@ BGR = Tuple[int, int, int]
 # polylines at least this long are probed for a repeating vertex period —
 # the reference's cycle walks can respin a tiny loop thousands of times
 # (04_find_contours.py:174-205 closing-step walk under the 4×fg guard), so
-# poster-scale layers carry millions of byte-mandated duplicate segments
-_PERIODIC_MIN = 4096
+# poster-scale layers carry millions of byte-mandated duplicate segments.
+# Threshold sweep on the 4K poster's 8 layers (interleaved best-of-4, both
+# renders): 4096 → 1.08 s, 1536 → 0.73 s, 1024 → 0.66 s, 768 → 0.67 s —
+# mid-size spun contours are common there; detection on non-periodic
+# contours bails after a few vectorized candidate probes, so the threshold
+# costs little on ordinary images.  Elision is byte-exact at ANY threshold
+# (fixpoint construction, fuzz-pinned), so this is purely a speed knob.
+_PERIODIC_MIN = 1024
 
 
 def _find_period(pts: np.ndarray):
