@@ -833,6 +833,34 @@ extern "C" void pw_arc_batch(
     }
 }
 
+// Fused stage-05 page-fit scaling (05_scale_vectors.py:82-96 semantics via
+// plotweave.vector.scale.scale_polys): float32 per-coordinate affine,
+// truncated to int32.  One pass — int32 read, float32 mul/add in registers,
+// int32 write — replacing the numpy chain's two full-size temporaries
+// (float32 concat copy + int32 astype copy).  Bit-identical: int32→float32
+// is the same round-to-nearest C conversion numpy uses, the mul and add are
+// single IEEE float32 ops (-ffp-contract=off forbids fma fusion), and the
+// (int32_t) cast truncates toward zero exactly like ndarray.astype(int32).
+extern "C" void pw_scale_batch(
+    const int32_t* const* ptrs,    // k per-contour (n_c, 2) int32 buffers
+    const int64_t* lens, int64_t k,
+    float sx, float sy, float dx, float dy,
+    int32_t* out)                  // concatenated (sum n_c, 2) output
+{
+    int64_t o = 0;
+    for (int64_t c = 0; c < k; c++) {
+        const int32_t* p = ptrs[c];
+        int64_t n2 = lens[c] * 2;
+        for (int64_t j = 0; j < n2; j += 2) {
+            float x = (float)p[j] * sx + dx;
+            float y = (float)p[j + 1] * sy + dy;
+            out[o + j] = (int32_t)x;
+            out[o + j + 1] = (int32_t)y;
+        }
+        o += n2;
+    }
+}
+
 // Zero-copy variant: per-contour base pointers instead of one concatenated
 // buffer.  Identical math/accumulation order to pw_arc_batch — callers pass
 // the contours' own (C-contiguous int32 (n,2)) storage, skipping the

@@ -249,6 +249,16 @@ def bind_skeleton_ops(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.pw_scale_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.pw_greedy_order.argtypes = [
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),

@@ -40,6 +40,9 @@ def scale_polys(polys: List[np.ndarray], sx: float, sy: float, dx: float, dy: fl
     out: List[np.ndarray] = []
     if not polys:
         return out
+    native = _scale_polys_native(polys, sx, sy, dx, dy)
+    if native is not None:
+        return native
     from .geometry import _chunk_ranges  # noqa: PLC0415
 
     # the 2×2 matrix is diagonal, so the row-vector matmul reduces to an
@@ -63,3 +66,34 @@ def scale_polys(polys: List[np.ndarray], sx: float, sy: float, dx: float, dy: fl
         big = big.astype(np.int32)
         out.extend(big[offs[i] : offs[i + 1]].reshape(-1, 1, 2) for i in range(len(group)))
     return out
+
+
+def _scale_polys_native(polys, sx, sy, dx, dy):
+    """Fused C++ pass (pw_scale_batch): int32 read → float32 affine in
+    registers → int32 write, one output allocation and no float temporary.
+    Bit-identical to the numpy chain (same int32→float32 conversion, single
+    IEEE float32 mul and add with fma fusion disabled, same truncating cast
+    — fuzz-pinned in test_native.py).  None when the library is unavailable
+    or any contour isn't int32."""
+    import ctypes  # noqa: PLC0415
+
+    from ..native.loader import bind_skeleton_ops, get_lib  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None or any(np.asarray(p).dtype != np.int32 for p in polys):
+        return None
+    bind_skeleton_ops(lib)
+    arrs = [np.ascontiguousarray(np.asarray(p).reshape(-1, 2)) for p in polys]
+    ptrs = np.fromiter((a.ctypes.data for a in arrs), np.uintp, count=len(arrs))
+    lens = np.fromiter((len(a) for a in arrs), np.int64, count=len(arrs))
+    offs = np.zeros(len(arrs) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    big = np.empty((int(offs[-1]), 2), np.int32)
+    lib.pw_scale_batch(
+        ptrs.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(arrs),
+        np.float32(sx), np.float32(sy), np.float32(dx), np.float32(dy),
+        big.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return [big[offs[i] : offs[i + 1]].reshape(-1, 1, 2) for i in range(len(arrs))]

@@ -343,3 +343,42 @@ def test_batch_arc_length_sequential_exact():
     a = batch_arc_length(ptss, closed)
     c = np.array([arc_length(p, bool(cl)) for p, cl in zip(ptss, closed)])
     np.testing.assert_array_equal(a, c)
+
+
+def test_native_scale_batch_bit_identical():
+    """pw_scale_batch (fused int32→float32-affine→int32 pass) must equal the
+    numpy chain bit-for-bit: same int32→float32 conversion, single IEEE
+    float32 mul/add (no fma), same truncating cast — stage 05's artifact is
+    byte-compared in the e2e contract."""
+    import plotweave.vector.scale as S
+
+    rng = np.random.default_rng(17)
+
+    def numpy_path(polys, *a):
+        orig = S._scale_polys_native
+        S._scale_polys_native = lambda *x: None
+        try:
+            return S.scale_polys(polys, *a)
+        finally:
+            S._scale_polys_native = orig
+
+    for trial in range(120):
+        k = int(rng.integers(1, 12))
+        polys = [
+            rng.integers(-13000, 13000, (int(rng.integers(1, 60)), 1, 2)).astype(np.int32)
+            for _ in range(k)
+        ]
+        sx, sy = float(rng.uniform(0.001, 50)), float(rng.uniform(0.001, 50))
+        dx, dy = float(rng.integers(-100, 100)), float(rng.integers(-100, 100))
+        a = S.scale_polys(polys, sx, sy, dx, dy)
+        b = numpy_path(polys, sx, sy, dx, dy)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert x.dtype == y.dtype and x.shape == y.shape
+            np.testing.assert_array_equal(x, y, err_msg=f"trial {trial}")
+    # strided / reversed views hit the ascontiguousarray fallback
+    p = rng.integers(-9000, 9000, (57, 2)).astype(np.int32)
+    for v in (p[::-1], p[::2]):
+        a = S.scale_polys([v], 0.19, 0.19, 20.0, 20.0)
+        b = numpy_path([v], 0.19, 0.19, 20.0, 20.0)
+        np.testing.assert_array_equal(a[0], b[0])
