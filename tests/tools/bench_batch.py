@@ -18,6 +18,11 @@ import tempfile
 import time
 from pathlib import Path
 
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parents[2]))
+
 import numpy as np
 
 COLORS = [(20, 20, 20), (90, 90, 200), (140, 180, 220), (230, 220, 210)]

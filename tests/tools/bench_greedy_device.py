@@ -16,6 +16,11 @@ from __future__ import annotations
 import time
 from functools import partial
 
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parents[2]))
+
 import numpy as np
 
 import jax
