@@ -24,12 +24,26 @@ def load_pickle(path: str) -> Any:
 
 def save_pickle(obj: Any, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+    # overwrite in place ("r+b") instead of truncating: O_TRUNC frees the
+    # file's tmpfs pages, so a re-run into the same output dir re-pays page
+    # allocation for tens of MB per artifact — at this host's episodic
+    # page-fault cost (CLAUDE.md: up to ~55 ms/MB in bad phases) that was
+    # the single largest stage cost on the 4K poster (pickle.dump measured
+    # 1.2–2.8 s per stage mid-phase).  Writing over existing pages is a
+    # plain memcpy; the trailing truncate only trims if the new dump is
+    # shorter.  File bytes are identical either way.
+    mode = "r+b" if os.path.isfile(path) else "wb"
+    try:
+        f = open(path, mode)
+    except OSError:
+        f = open(path, "wb")
+    with f:
         # protocol 5: ndarray buffers serialize without the tobytes() copy
         # (measured 0.53 → 0.33 s on a 60 MB spun-layer contour list; four
         # stages dump one of these per 4K layer).  Artifact equality is
         # semantic (tests load both sides), not byte-of-pickle.
         pickle.dump(obj, f, protocol=5)
+        f.truncate()
     # the file on disk stays the source of truth; the registry only skips
     # the redundant re-read while the signature matches.  Consumers must
     # treat loaded artifacts as immutable (they already do — every stage
@@ -92,9 +106,30 @@ def _stat_sig(path: str):
 # Host pickle handoff: same contract as the device registry below, for the
 # vector-stage artifacts (contours/lines pickles reach ~60 MB per layer at
 # 4K; each inter-stage disk round trip costs real time on this host).
+#
+# Eviction is BYTE-budgeted, not just entry-counted: a single 4K run
+# registers ~40 entries where the spun layers are ~60 MB each, so a pure
+# entry cap left the PREVIOUS run's arrays pinned across runs — which
+# blocks glibc's warm-heap reuse (plotweave/__init__ raises the trim
+# threshold precisely so freed big buffers are recycled) and re-exposes
+# every run to the host's episodic first-touch page-fault cost.
 _PICKLE_HANDOFF: "OrderedDict[str, tuple]" = OrderedDict()
 _PICKLE_HANDOFF_CAP = 64
+_PICKLE_HANDOFF_BYTE_CAP = 512 * 1024 * 1024
+_PICKLE_HANDOFF_BYTES = [0]
 _HANDOFF_MISS = object()
+
+
+def _approx_nbytes(obj) -> int:
+    """Rough ndarray payload size of a stage artifact (arrays, possibly
+    nested one level in lists/tuples/dict values — the shapes stages use)."""
+    if isinstance(obj, np.ndarray):
+        return obj.nbytes
+    if isinstance(obj, (list, tuple)):
+        return sum(a.nbytes for a in obj if isinstance(a, np.ndarray))
+    if isinstance(obj, dict):
+        return sum(a.nbytes for a in obj.values() if isinstance(a, np.ndarray))
+    return 0
 
 
 def _register_pickle_handoff(path: str, obj) -> None:
@@ -103,11 +138,19 @@ def _register_pickle_handoff(path: str, obj) -> None:
     except OSError:
         return
     key = os.path.abspath(path)
+    nb = _approx_nbytes(obj)
     with _DEVICE_HANDOFF_LOCK:
-        _PICKLE_HANDOFF.pop(key, None)
-        _PICKLE_HANDOFF[key] = (sig, obj)
-        while len(_PICKLE_HANDOFF) > _PICKLE_HANDOFF_CAP:
-            _PICKLE_HANDOFF.popitem(last=False)
+        old = _PICKLE_HANDOFF.pop(key, None)
+        if old is not None:
+            _PICKLE_HANDOFF_BYTES[0] -= old[2]
+        _PICKLE_HANDOFF[key] = (sig, obj, nb)
+        _PICKLE_HANDOFF_BYTES[0] += nb
+        while _PICKLE_HANDOFF and (
+            len(_PICKLE_HANDOFF) > _PICKLE_HANDOFF_CAP
+            or _PICKLE_HANDOFF_BYTES[0] > _PICKLE_HANDOFF_BYTE_CAP
+        ):
+            _, (_, _, enb) = _PICKLE_HANDOFF.popitem(last=False)
+            _PICKLE_HANDOFF_BYTES[0] -= enb
 
 
 def _fetch_pickle_handoff(path: str):
@@ -122,7 +165,9 @@ def _fetch_pickle_handoff(path: str):
         fresh = False
     with _DEVICE_HANDOFF_LOCK:
         if not fresh:
-            _PICKLE_HANDOFF.pop(key, None)
+            stale = _PICKLE_HANDOFF.pop(key, None)
+            if stale is not None:
+                _PICKLE_HANDOFF_BYTES[0] -= stale[2]
             return _HANDOFF_MISS
         if key in _PICKLE_HANDOFF:
             _PICKLE_HANDOFF.move_to_end(key)
