@@ -9,12 +9,15 @@ The mm→step mapping applies mm-space scale/offset, then steps/mm, an
 optional Y flip around the canvas, rounding and clamping; consecutive
 duplicate step points are dropped (gcode2stream.py:79-110,317-339).
 
-Parsing is vectorized: one C-speed tokenization pass over the whole
-document, then numpy forward-fill/grouping for the per-line state machine —
-~10× the line-by-line parser on large documents.  Files using the rare
-stateful words (G91 relative, G20 inches) fall back to the exact Python
-state machine; both parsers are fuzz-pinned equal
-(tests/test_frontends.py::test_fast_parser_matches_exact).
+Parsing is vectorized: one native C pass tokenizes the whole document
+(comment strip + whitespace split + CPython-exact float(), native/
+encoder.cpp ``pw_gcode_tokens``; regex+float() fallback when the library
+is missing or the text is non-ASCII), then numpy forward-fill/grouping
+runs the per-line state machine — ~40× the line-by-line parser on large
+documents.  Files using the rare stateful words (G91 relative, G20
+inches) fall back to the exact Python state machine; all paths are
+fuzz-pinned equal (tests/test_frontends.py::test_fast_parser_matches_exact,
+::test_native_tokenizer_matches_regex).
 """
 
 from __future__ import annotations
@@ -96,23 +99,40 @@ def _ffill(vals: np.ndarray, init: float) -> np.ndarray:
     return filled
 
 
-def _parse_polylines_mm_fast(text: str):
-    """Vectorized absolute-mm parser; None → caller falls back to exact."""
-    low = text.lower()
-    if "nan" in low or "inf" in low:
-        return None  # float('nan')-class coordinate values: exact path only
-    if "\x00" in text:
-        return None  # literal NULs would collide with the line sentinel
+def _tok_result(cmds_u8, vals, line_id):
+    """Shared tail of both tokenizers: per-command masks + line count.
 
-    # the exact state machine iterates str.splitlines(); normalize every
-    # terminator it recognizes (\r\n, bare \r, \f, \v, \x85, U+2028/29, …)
-    # to \n so both parsers see identical line structure
-    text = "\n".join(text.splitlines())
+    ``cmds_u8`` is the uppercased-first-char byte per token; ``n_lines`` is
+    the last token's 0-based line index + 1 (exactly what the sentinel
+    cumsum used to produce)."""
+    if not len(cmds_u8):
+        return None
+    n_lines = int(line_id[-1]) + 1
+    is_g, is_m, is_x, is_y, is_z = (cmds_u8 == ord(c) for c in "GMXYZ")
+    return is_g, is_m, is_x, is_y, is_z, vals, line_id, n_lines
+
+
+def _tokenize_native(text: str):
+    """One C pass over the normalized document: comment strip + whitespace
+    split + CPython-float() per token (native/encoder.cpp pw_gcode_tokens,
+    fuzz-pinned equal to :func:`_tokenize_regex`).  None → use the regex
+    tokenizer (library missing, non-ASCII text, or a value that overflows
+    to ±inf — where the regex path reproduces Python's OverflowError)."""
+    from ..native.api import gcode_tokens_native  # noqa: PLC0415
+
+    nat = gcode_tokens_native(text)
+    if nat is None:
+        return None
+    return _tok_result(*nat)
+
+
+def _tokenize_regex(text: str):
+    """Regex/np.fromiter tokenizer (the pre-native fast path)."""
     body = _PAREN_RE.sub("", _SEMI_RE.sub("", text))
     body = body.replace("\n", " \x00 ")
     pairs = _TOKEN_RE.findall(body)
     if not pairs:
-        return [], 0
+        return None
 
     def _f(s: str) -> float:
         try:
@@ -128,10 +148,33 @@ def _parse_polylines_mm_fast(text: str):
     vals = vals[keep]
     line_id = line_id[keep]
     if not len(cmds):
-        return [], 0
-    n_lines = int(line_id[-1]) + 1
+        return None
+    # U1 → codepoint so both tokenizers share the mask tail; non-ASCII
+    # first chars are fine (they just never equal ord('G')..ord('Z'))
+    cmds_u8 = cmds.view(np.uint32)
+    return _tok_result(cmds_u8, vals, line_id)
 
-    gv = vals[cmds == "G"]
+
+def _parse_polylines_mm_fast(text: str):
+    """Vectorized absolute-mm parser; None → caller falls back to exact."""
+    low = text.lower()
+    if "nan" in low or "inf" in low:
+        return None  # float('nan')-class coordinate values: exact path only
+    if "\x00" in text:
+        return None  # literal NULs would collide with the line sentinel
+
+    # the exact state machine iterates str.splitlines(); normalize every
+    # terminator it recognizes (\r\n, bare \r, \f, \v, \x85, U+2028/29, …)
+    # to \n so both parsers see identical line structure
+    text = "\n".join(text.splitlines())
+    tok = _tokenize_native(text)
+    if tok is None:
+        tok = _tokenize_regex(text)
+    if tok is None:
+        return [], 0
+    is_g, is_m, is_x, is_y, is_z, vals, line_id, n_lines = tok
+
+    gv = vals[is_g]
     gcodes = np.trunc(gv[~np.isnan(gv)]).astype(np.int64)
     if np.isin(gcodes, (91, 20)).any():
         return None  # relative moves / inch units: exact path only
@@ -142,16 +185,16 @@ def _parse_polylines_mm_fast(text: str):
         out[line_id[m]] = vals[m]  # document order: later assignment wins
         return out
 
-    x_line = last_per_line(cmds == "X")
-    y_line = last_per_line(cmds == "Y")
-    z_line = last_per_line(cmds == "Z")
+    x_line = last_per_line(is_x)
+    y_line = last_per_line(is_y)
+    z_line = last_per_line(is_z)
 
     # pen events per line: last relevant M (3/4 down, 5 up) wins over the
     # Z ≤ 0 inference (the reference only infers when no M set pen)
     evt = np.full(n_lines, -1, np.int8)
     zl = ~np.isnan(z_line)
     evt[zl] = (z_line[zl] <= 0.0).astype(np.int8)
-    m_mask = (cmds == "M") & ~np.isnan(vals)
+    m_mask = is_m & ~np.isnan(vals)
     m_codes = np.trunc(vals[m_mask]).astype(np.int64)
     rel = np.isin(m_codes, (3, 4, 5))
     m_lines = line_id[m_mask][rel]

@@ -564,3 +564,37 @@ def component_path_native(
         h * w,
     )
     return out[:n] if n > 0 else out[:0]
+
+
+def gcode_tokens_native(text: str):
+    """Native tokenizer for the vectorized G-code parser.
+
+    Input is the "\\n"-normalized document text.  Returns
+    ``(cmds uint8 uppercased-first-chars, vals float64, line_id int32)``
+    post-comment-strip, exactly the arrays the regex tokenizer in
+    frontends/gcode.py computes (fuzz-pinned) — or None when the library is
+    missing, the text is non-ASCII (Python's str whitespace/float() accept
+    Unicode the C scanner must not guess at), or a value overflows to
+    +-inf (Python raises OverflowError there; the regex path reproduces it).
+    """
+    from .loader import bind_skeleton_ops  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None or not text.isascii() or "\x00" in text:
+        return None  # c_char_p would truncate at a literal NUL
+    bind_skeleton_ops(lib)
+    raw = text.encode("ascii")
+    cap = len(raw) // 2 + 2
+    cmds = np.empty(cap, np.uint8)
+    vals = np.empty(cap, np.float64)
+    line_id = np.empty(cap, np.int32)
+    n = lib.pw_gcode_tokens(
+        raw,
+        len(raw),
+        cmds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        line_id.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if n < 0:
+        return None
+    return cmds[:n], vals[:n], line_id[:n]

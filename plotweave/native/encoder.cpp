@@ -1383,3 +1383,131 @@ extern "C" void pw_km_assign(const uint8_t* lab, int64_t N, const float* centers
     }
     for (auto& th : ts) th.join();
 }
+
+// ------------------------------------------------------------ G-code tokens
+
+#include <string>
+#include <limits>
+#include <cstdlib>
+#include <locale.h>
+
+// pw_gcode_tokens: tokenize "\n"-normalized ASCII G-code text for the
+// vectorized parser (frontends/gcode.py::_parse_polylines_mm_fast).
+//
+// Replicates byte-for-byte the Python pipeline over the same text
+// (gcode.py:99-132, itself pinned to /root/reference/svg_to_stream/
+// gcode2stream.py:113-133's comment rules and `tok[0], tok[1:]` split):
+//   body = _PAREN_RE.sub("", _SEMI_RE.sub("", text)); _TOKEN_RE.findall
+// Per line: ';' kills the tail (even inside parens — _SEMI_RE runs first);
+// non-nested "(...)" groups are dropped, an unclosed '(' drops the rest of
+// the line, a stray ')' is dropped, and the chars AROUND a paren group join
+// into one token ("X(c)5" -> "X5").  The cleaned line splits on {' ','\t'}
+// (the only whitespace left after str.splitlines() normalization of ASCII
+// text), and each token emits (toupper(first char), python_float(rest) or
+// NaN, 0-based line index).
+//
+// python_float follows CPython's float() grammar exactly: optional sign,
+// decimal digit runs with single underscores BETWEEN digits, optional
+// fraction and exponent; no hex, no inf/nan literals (the caller
+// pre-screens "inf"/"nan" text and non-ASCII documents to other paths).
+// A value that overflows to +-inf makes the whole call return -1: CPython
+// raises OverflowError there, so the caller falls back to the regex
+// tokenizer and the behavior (that exception) stays identical.
+static locale_t pw_c_locale() {
+    static locale_t loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+    return loc;
+}
+
+// 0 = invalid (Python ValueError -> NaN), 1 = ok, 2 = overflow to +-inf
+static int pw_py_float(const char* s, int64_t len, double* out,
+                       std::string& num) {
+    if (len <= 0) return 0;
+    num.clear();
+    int64_t i = 0;
+    if (s[i] == '+' || s[i] == '-') { num.push_back(s[i]); i++; }
+    // digit run with single '_' between digits; -1 = malformed ('_' not
+    // surrounded by digits anywhere in the run)
+    auto run = [&]() -> int64_t {
+        int64_t cnt = 0;
+        while (i < len) {
+            char c = s[i];
+            if (c >= '0' && c <= '9') { num.push_back(c); cnt++; i++; }
+            else if (c == '_') {
+                if (cnt == 0) return -1;  // '_' before any digit
+                if (!(i + 1 < len && s[i + 1] >= '0' && s[i + 1] <= '9'))
+                    return -1;            // trailing '_' / '__' / '_.'
+                i++;                      // drop the separator
+            } else break;
+        }
+        return cnt;
+    };
+    int64_t id_ = run();
+    if (id_ < 0) return 0;
+    int64_t fd = 0;
+    if (i < len && s[i] == '.') {
+        num.push_back('.');
+        i++;
+        fd = run();
+        if (fd < 0) return 0;
+    }
+    if (id_ + fd == 0) return 0;
+    if (i < len && (s[i] == 'e' || s[i] == 'E')) {
+        num.push_back('e');
+        i++;
+        if (i < len && (s[i] == '+' || s[i] == '-')) { num.push_back(s[i]); i++; }
+        int64_t ed = run();
+        if (ed <= 0) return 0;
+    }
+    if (i != len) return 0;
+    char* end = nullptr;
+    double v = strtod_l(num.c_str(), &end, pw_c_locale());
+    if (std::isinf(v)) return 2;
+    *out = v;
+    return 1;
+}
+
+extern "C" int64_t pw_gcode_tokens(
+        const char* t, int64_t n,
+        uint8_t* cmds, double* vals, int32_t* line_id) {
+    const double NaN = std::numeric_limits<double>::quiet_NaN();
+    int64_t out = 0;
+    int32_t line = 0;
+    std::string cleaned, num;
+    int64_t start = 0;
+    for (;;) {
+        int64_t eol = start;
+        while (eol < n && t[eol] != '\n') eol++;
+        cleaned.clear();
+        bool paren = false;
+        for (int64_t j = start; j < eol; j++) {
+            char c = t[j];
+            if (c == ';') break;  // _SEMI_RE first: kills the tail anywhere
+            if (paren) { if (c == ')') paren = false; continue; }
+            if (c == '(') { paren = true; continue; }
+            if (c == ')') continue;  // stray ')'
+            cleaned.push_back(c);
+        }
+        const char* s = cleaned.data();
+        int64_t m = (int64_t)cleaned.size();
+        int64_t j = 0;
+        while (j < m) {
+            while (j < m && (s[j] == ' ' || s[j] == '\t')) j++;
+            if (j >= m) break;
+            int64_t ts = j;
+            while (j < m && s[j] != ' ' && s[j] != '\t') j++;
+            char c0 = s[ts];
+            if (c0 >= 'a' && c0 <= 'z') c0 = (char)(c0 - 32);
+            double v = NaN;
+            int st = pw_py_float(s + ts + 1, j - ts - 1, &v, num);
+            if (st == 2) return -1;  // OverflowError parity via fallback
+            cmds[out] = (uint8_t)c0;
+            vals[out] = (st == 1) ? v : NaN;
+            line_id[out] = line;
+            out++;
+        }
+        if (eol >= n) break;
+        start = eol + 1;
+        line++;
+    }
+    return out;
+}

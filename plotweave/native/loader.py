@@ -269,4 +269,12 @@ def bind_skeleton_ops(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.pw_gcode_tokens.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.pw_gcode_tokens.restype = ctypes.c_int64
     lib._pw_skel_bound = True

@@ -292,3 +292,60 @@ def test_tools_palette_and_analysis():
     )
     names = [m.name for m, _ in recs]
     assert len(names) == len(set(names))  # dedup suppressed the near-duplicate red
+
+
+def test_native_tokenizer_matches_regex():
+    """The C tokenizer (native/encoder.cpp pw_gcode_tokens) must reproduce
+    the regex+float() tokenizer token-for-token: same command masks, same
+    values (CPython float grammar: underscores between digits, no hex),
+    same line ids — across comment forms, malformed numerics and junk
+    tokens.  Non-ASCII and overflow-to-inf documents must dispatch to the
+    regex path (None)."""
+    from plotweave.frontends.gcode import _tokenize_native, _tokenize_regex
+
+    if _tokenize_native("G1 X1") is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    nasty_tokens = [
+        "X1_0", "X1__0", "X_1", "X1_", "X1_.5", "X5._2", "X.5", "X5.",
+        "X.", "X+", "X-", "X+5", "X-0.25", "X1e5", "X1E+5", "X1e", "X1e+",
+        "X1e1_0", "X0x10", "X00.50", "Xabc", "X1.2.3", "X--1", "X+-1",
+        "Y,3", "G01", "g1", "m03", "z-0.0", "F12_00", "*junk*", "1garbage",
+    ]
+    rng = np.random.default_rng(23)
+    for trial in range(40):
+        lines = []
+        for _ in range(int(rng.integers(5, 40))):
+            r = rng.random()
+            if r < 0.25:
+                lines.append(" ".join(
+                    str(rng.choice(nasty_tokens))
+                    for _ in range(int(rng.integers(1, 5)))))
+            elif r < 0.4:
+                lines.append(rng.choice([
+                    "", "   ", "\t", "; only comment", "(only)", "(unclosed",
+                    ") stray", "X(mid)5 Y2", "G1 (a(b) X3", "X1;Y2", "(a;b)c",
+                ]))
+            else:
+                lines.append(
+                    f"G1 X{rng.uniform(-9, 9):.4f}\tY{rng.uniform(-9, 9):.4f}")
+        sep = str(rng.choice(["\n", "\r\n", "\r"]))
+        text = "\n".join(sep.join(lines).splitlines())  # normalized form
+        nat = _tokenize_native(text)
+        reg = _tokenize_regex(text)
+        assert (nat is None) == (reg is None), text
+        if nat is None:
+            continue
+        for i in range(5):  # is_g/m/x/y/z masks
+            assert np.array_equal(np.asarray(nat[i]), np.asarray(reg[i])), text
+        nv, rv = np.asarray(nat[5]), np.asarray(reg[5])
+        assert ((nv == rv) | (np.isnan(nv) & np.isnan(rv))).all(), text
+        assert np.array_equal(np.asarray(nat[6]), np.asarray(reg[6])), text
+        assert nat[7] == reg[7], text
+
+    # dispatch gates: non-ASCII text and OverflowError-class values
+    assert _tokenize_native("G1 X1  Y2") is None
+    assert _tokenize_native("G1 X1e999") is None  # Python raises OverflowError
+    assert _tokenize_native("G1 X1 \x00Y2") is None
