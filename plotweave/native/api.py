@@ -582,6 +582,12 @@ def gcode_tokens_native(text: str):
     lib = get_lib()
     if lib is None or not text.isascii() or "\x00" in text:
         return None  # c_char_p would truncate at a literal NUL
+    # ASCII information separators are regex-\s whitespace for str patterns
+    # but \x1f survives str.splitlines() normalization (\x1c-\x1e do not;
+    # gated anyway in case of un-normalized input) — the C scanner only
+    # splits on {' ', '\t'}, so these must take the regex path
+    if any(c in text for c in "\x1c\x1d\x1e\x1f"):
+        return None
     bind_skeleton_ops(lib)
     raw = text.encode("ascii")
     cap = len(raw) // 2 + 2

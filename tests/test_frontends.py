@@ -349,3 +349,24 @@ def test_native_tokenizer_matches_regex():
     assert _tokenize_native("G1 X1  Y2") is None
     assert _tokenize_native("G1 X1e999") is None  # Python raises OverflowError
     assert _tokenize_native("G1 X1 \x00Y2") is None
+
+
+def test_native_tokenizer_gates_ascii_separators():
+    """ASCII \\x1f (unit separator) is regex-\\s whitespace for str patterns
+    but is NOT a str.splitlines() boundary, so it survives normalization —
+    the native tokenizer must dispatch such documents to the regex path
+    (regression: 'X1\\x1fY2' lost the Y2 token)."""
+    from plotweave.frontends.gcode import (
+        _parse_polylines_mm_fast,
+        _parse_polylines_mm_py,
+        _tokenize_native,
+    )
+
+    text = "M3\nG1 X1\x1fY2\nM5"
+    assert _tokenize_native("\n".join(text.splitlines())) is None
+    fast = _parse_polylines_mm_fast(text)
+    exact_paths, exact_moves = _parse_polylines_mm_py(text)
+    assert fast is not None
+    assert fast[1] == exact_moves == 1
+    assert np.array_equal(np.asarray(fast[0][0]),
+                          np.asarray(exact_paths[0], dtype=np.float64))
