@@ -370,3 +370,51 @@ def test_native_tokenizer_gates_ascii_separators():
     assert fast[1] == exact_moves == 1
     assert np.array_equal(np.asarray(fast[0][0]),
                           np.asarray(exact_paths[0], dtype=np.float64))
+
+
+def test_native_tokenizer_float_grammar_fuzz():
+    """Randomized numeric strings over float()'s alphabet (digits, '_',
+    '.', signs, exponents) — the C grammar must accept/reject and parse
+    every one exactly like CPython float(): same NaN-vs-value decision,
+    bit-identical doubles."""
+    from plotweave.frontends.gcode import _tokenize_native, _tokenize_regex
+
+    if _tokenize_native("G1 X1") is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(41)
+    alphabet = list("0123456789" * 3 + "._+-eE")
+    for _ in range(25):
+        toks = []
+        for _ in range(120):
+            n = int(rng.integers(1, 13))
+            body = "".join(str(rng.choice(alphabet)) for _ in range(n))
+            if "inf" in body.lower() or "nan" in body.lower():
+                continue  # pre-screened before tokenization in production
+            toks.append("X" + body)
+        text = "\n".join(" ".join(toks[i : i + 6]) for i in range(0, len(toks), 6))
+        nat = _tokenize_native(text)
+        if nat is None:
+            # only legitimate cause here: a value overflowing to +-inf
+            # (where the regex path would raise OverflowError, so don't
+            # call it — replicate float() per token instead)
+            has_inf = False
+            for t in toks:
+                try:
+                    has_inf |= np.isinf(float(t[1:]))
+                except ValueError:
+                    continue  # invalid token → NaN, not a fallback cause
+                except OverflowError:
+                    has_inf = True
+                    break
+            assert has_inf, text
+            continue
+        reg = _tokenize_regex(text)
+        nv, rv = np.asarray(nat[5]), np.asarray(reg[5])
+        same = (nv == rv) | (np.isnan(nv) & np.isnan(rv))
+        assert same.all(), [
+            (t, a, b) for t, a, b in zip(toks, nv, rv) if not (
+                a == b or (np.isnan(a) and np.isnan(b)))]
+        assert np.array_equal(np.asarray(nat[6]), np.asarray(reg[6]))
