@@ -372,6 +372,13 @@ def order_nearest_l1(paths: List, start: Point = (0, 0)) -> List:
         return []
     starts = np.array([[int(p[0][0]), int(p[0][1])] for p in remaining], np.int64)
     ends = np.array([[int(p[-1][0]), int(p[-1][1])] for p in remaining], np.int64)
+
+    from ..native.api import order_l1_native  # noqa: PLC0415
+
+    order = order_l1_native(starts, ends, int(start[0]), int(start[1]))
+    if order is not None:
+        return [remaining[i] for i in order]
+
     alive = list(range(len(remaining)))
     out: List = []
     cur = np.array(start, np.int64)

@@ -604,3 +604,31 @@ def gcode_tokens_native(text: str):
     if n < 0:
         return None
     return cmds[:n], vals[:n], line_id[:n]
+
+
+def order_l1_native(starts: np.ndarray, ends: np.ndarray,
+                    sx: int, sy: int):
+    """Greedy nearest-start L1 ordering (no flip) over (n, 2) int64
+    start/end arrays from ``(sx, sy)``; returns the order as an int32
+    array, or None when the library is missing.  Ascending strict-<
+    scan == np.argmin first-min tie-break (fuzz-pinned in
+    tests/test_frontends.py)."""
+    from .loader import bind_skeleton_ops  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    bind_skeleton_ops(lib)
+    s = np.ascontiguousarray(starts, dtype=np.int64)
+    e = np.ascontiguousarray(ends, dtype=np.int64)
+    n = len(s)
+    order = np.empty(n, np.int32)
+    lib.pw_order_l1(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        int(sx),
+        int(sy),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return order

@@ -1511,3 +1511,29 @@ extern "C" int64_t pw_gcode_tokens(
     }
     return out;
 }
+
+// pw_order_l1: greedy nearest-start ordering, L1 metric, no endpoint flip —
+// the G-code front-end's path ordering (frontends/gcode.py
+// order_nearest_l1, pinned to /root/reference/svg_to_stream/
+// gcode2stream.py:151-172).  starts/ends are (n,2) int64 step coords;
+// ascending scan with strict '<' reproduces np.argmin's first-min
+// tie-break exactly; int64 L1 math is exact on both sides.
+extern "C" void pw_order_l1(const int64_t* starts, const int64_t* ends,
+                            int64_t n, int64_t sx, int64_t sy,
+                            int32_t* order) {
+    std::vector<uint8_t> alive((size_t)n, 1);
+    int64_t cx = sx, cy = sy;
+    for (int64_t k = 0; k < n; k++) {
+        int64_t best = -1, bd = INT64_MAX;
+        for (int64_t i = 0; i < n; i++) {
+            if (!alive[i]) continue;
+            int64_t d = std::llabs(starts[2 * i] - cx)
+                      + std::llabs(starts[2 * i + 1] - cy);
+            if (d < bd) { bd = d; best = i; }
+        }
+        alive[(size_t)best] = 0;
+        order[k] = (int32_t)best;
+        cx = ends[2 * best];
+        cy = ends[2 * best + 1];
+    }
+}

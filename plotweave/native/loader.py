@@ -277,4 +277,12 @@ def bind_skeleton_ops(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.pw_gcode_tokens.restype = ctypes.c_int64
+    lib.pw_order_l1.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib._pw_skel_bound = True

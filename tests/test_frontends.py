@@ -418,3 +418,33 @@ def test_native_tokenizer_float_grammar_fuzz():
             (t, a, b) for t, a, b in zip(toks, nv, rv) if not (
                 a == b or (np.isnan(a) and np.isnan(b)))]
         assert np.array_equal(np.asarray(nat[6]), np.asarray(reg[6]))
+
+
+def test_native_order_l1_matches_python():
+    """pw_order_l1 must reproduce the numpy greedy ordering exactly,
+    including first-index tie-breaks (duplicate start points)."""
+    from plotweave.native.api import order_l1_native
+
+    if order_l1_native(np.zeros((1, 2), np.int64),
+                       np.zeros((1, 2), np.int64), 0, 0) is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(5)
+    for _ in range(30):
+        n = int(rng.integers(1, 60))
+        # small coordinate range to force plenty of exact ties
+        starts = rng.integers(0, 7, (n, 2)).astype(np.int64)
+        ends = rng.integers(0, 7, (n, 2)).astype(np.int64)
+        order = order_l1_native(starts, ends, 0, 0)
+        # reference scan (the Python fallback's semantics, inlined)
+        alive = list(range(n))
+        cur = np.zeros(2, np.int64)
+        expect = []
+        while alive:
+            d = np.abs(starts[alive] - cur).sum(axis=1)
+            i = alive.pop(int(np.argmin(d)))
+            expect.append(i)
+            cur = ends[i]
+        assert order.tolist() == expect, (starts.tolist(), ends.tolist())
