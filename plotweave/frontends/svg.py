@@ -417,15 +417,29 @@ def fit_to_page(
 
 
 def polylines_to_gcode(polylines: List[np.ndarray], decimals: int = 3) -> str:
-    """Polylines (mm) → the G0/G1/M3/M5 dialect our G-code parser consumes."""
-    lines = ["G21", "G90", "M5"]
-    f = f"{{:.{decimals}f}}"
-    for p in polylines:
-        if len(p) < 2:
-            continue
-        lines.append(f"G0 X{f.format(p[0, 0])} Y{f.format(p[0, 1])}")
-        lines.append("M3")
-        for x, y in p[1:]:
-            lines.append(f"G1 X{f.format(x)} Y{f.format(y)}")
-        lines.append("M5")
-    return "\n".join(lines) + "\n"
+    """Polylines (mm) → the G0/G1/M3/M5 dialect our G-code parser consumes.
+
+    Vectorized: all vertices format in one np.char.mod pass ("%.Nf" % x
+    goes through the same PyOS_double_to_string as the scalar
+    f"{x:.Nf}", so the text is byte-identical to the per-vertex loop —
+    pinned in test_frontends), and the M3/M5 markers ride the first/last
+    vertex line of each polyline."""
+    kept = [np.asarray(p, np.float64) for p in polylines if len(p) >= 2]
+    if not kept:
+        return "G21\nG90\nM5\n"
+    lens = np.array([len(p) for p in kept])
+    v = np.concatenate(kept, axis=0)
+    first = np.zeros(len(v), bool)
+    first[np.concatenate([[0], np.cumsum(lens)[:-1]])] = True
+    last = np.zeros(len(v), bool)
+    last[np.cumsum(lens) - 1] = True
+
+    fmt = f"%.{decimals}f"
+    xs = np.char.mod(fmt, v[:, 0])
+    ys = np.char.mod(fmt, v[:, 1])
+    pre = np.where(first, "G0 X", "G1 X")
+    suf = np.where(first, "\nM3", np.where(last, "\nM5", ""))
+    rows = np.char.add(
+        np.char.add(np.char.add(np.char.add(pre, xs), " Y"), ys), suf
+    )
+    return "G21\nG90\nM5\n" + "\n".join(rows.tolist()) + "\n"

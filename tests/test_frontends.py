@@ -448,3 +448,40 @@ def test_native_order_l1_matches_python():
             expect.append(i)
             cur = ends[i]
         assert order.tolist() == expect, (starts.tolist(), ends.tolist())
+
+
+def test_polylines_to_gcode_matches_scalar_loop():
+    """The vectorized G-code text builder must be byte-identical to the
+    per-vertex scalar loop it replaced ("%.Nf" % x and f"{x:.Nf}" share
+    PyOS_double_to_string), across dtypes and half-even rounding cases."""
+    from plotweave.frontends.svg import polylines_to_gcode
+
+    def scalar(polylines, decimals=3):
+        lines = ["G21", "G90", "M5"]
+        f = f"{{:.{decimals}f}}"
+        for p in polylines:
+            if len(p) < 2:
+                continue
+            lines.append(f"G0 X{f.format(p[0, 0])} Y{f.format(p[0, 1])}")
+            lines.append("M3")
+            for x, y in p[1:]:
+                lines.append(f"G1 X{f.format(x)} Y{f.format(y)}")
+            lines.append("M5")
+        return "\n".join(lines) + "\n"
+
+    rng = np.random.default_rng(9)
+    polys = []
+    for i in range(50):
+        n = int(rng.integers(1, 40))  # includes len-1 (skipped) cases
+        p = rng.uniform(-200, 300, (n, 2))
+        if i % 3 == 1:
+            p = p.astype(np.float32)
+        elif i % 3 == 2:
+            p = np.round(p).astype(np.int64)
+        polys.append(p)
+    # exact-binary half-even ties at 3 decimals (0.0625 -> "0.062")
+    polys.append(np.array([[0.0625, -0.0625], [2.5, -0.0], [0.5, 1.1875]]))
+    for dec in (3, 4):
+        assert polylines_to_gcode(polys, dec) == scalar(polys, dec)
+    assert polylines_to_gcode([], 3) == scalar([], 3)
+    assert polylines_to_gcode([np.zeros((1, 2))], 3) == scalar([np.zeros((1, 2))], 3)
