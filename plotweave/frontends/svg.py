@@ -419,10 +419,12 @@ def fit_to_page(
 def polylines_to_gcode(polylines: List[np.ndarray], decimals: int = 3) -> str:
     """Polylines (mm) → the G0/G1/M3/M5 dialect our G-code parser consumes.
 
-    Vectorized: all vertices format in one np.char.mod pass ("%.Nf" % x
-    goes through the same PyOS_double_to_string as the scalar
-    f"{x:.Nf}", so the text is byte-identical to the per-vertex loop —
-    pinned in test_frontends), and the M3/M5 markers ride the first/last
+    One native pass renders the whole body (pw_gcode_text: glibc snprintf
+    "%.Nf" is the same correctly-rounded ties-to-even fixed-decimal
+    conversion as CPython's formatter — tie-fuzz-pinned in test_frontends);
+    the numpy fallback formats via np.char.mod ("%.Nf" % x shares
+    PyOS_double_to_string with the scalar f"{x:.Nf}").  Both byte-identical
+    to the original per-vertex loop; the M3/M5 markers ride the first/last
     vertex line of each polyline."""
     kept = [np.asarray(p, np.float64) for p in polylines if len(p) >= 2]
     if not kept:
@@ -434,12 +436,17 @@ def polylines_to_gcode(polylines: List[np.ndarray], decimals: int = 3) -> str:
     last = np.zeros(len(v), bool)
     last[np.cumsum(lens) - 1] = True
 
-    fmt = f"%.{decimals}f"
-    xs = np.char.mod(fmt, v[:, 0])
-    ys = np.char.mod(fmt, v[:, 1])
-    pre = np.where(first, "G0 X", "G1 X")
-    suf = np.where(first, "\nM3", np.where(last, "\nM5", ""))
-    rows = np.char.add(
-        np.char.add(np.char.add(np.char.add(pre, xs), " Y"), ys), suf
-    )
-    return "G21\nG90\nM5\n" + "\n".join(rows.tolist()) + "\n"
+    from ..native.api import gcode_text_native  # noqa: PLC0415
+
+    body = gcode_text_native(v, first, last, decimals)
+    if body is None:
+        fmt = f"%.{decimals}f"
+        xs = np.char.mod(fmt, v[:, 0])
+        ys = np.char.mod(fmt, v[:, 1])
+        pre = np.where(first, "G0 X", "G1 X")
+        suf = np.where(first, "\nM3", np.where(last, "\nM5", ""))
+        rows = np.char.add(
+            np.char.add(np.char.add(np.char.add(pre, xs), " Y"), ys), suf
+        )
+        body = "\n".join(rows.tolist()) + "\n"
+    return "G21\nG90\nM5\n" + body

@@ -632,3 +632,40 @@ def order_l1_native(starts: np.ndarray, ends: np.ndarray,
         order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return order
+
+
+def gcode_text_native(v: np.ndarray, first: np.ndarray, last: np.ndarray,
+                      decimals: int):
+    """Render the SVG front-end's G-code body (all vertex rows, newline-
+    terminated) in one native pass; returns the text or None (library
+    missing / non-finite values / buffer overflow → numpy formatter)."""
+    from .loader import bind_skeleton_ops  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    bind_skeleton_ops(lib)
+    v = np.ascontiguousarray(v, dtype=np.float64)
+    if not np.isfinite(v).all():
+        return None  # Python formats inf/nan as 'inf'/'nan'; don't guess
+    n = len(v)
+    if n == 0:
+        return ""
+    m = float(np.abs(v).max())
+    width = len(f"{-m:.{int(decimals)}f}") + 2
+    cap = n * (4 + 2 * width + 2 + 3 + 1) + 16
+    out = ctypes.create_string_buffer(cap)
+    f8 = np.ascontiguousarray(first, dtype=np.uint8)
+    l8 = np.ascontiguousarray(last, dtype=np.uint8)
+    w = lib.pw_gcode_text(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        f8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        l8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(decimals),
+        out,
+        cap,
+    )
+    if w < 0:
+        return None
+    return out.raw[:w].decode("ascii")

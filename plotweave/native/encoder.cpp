@@ -1537,3 +1537,41 @@ extern "C" void pw_order_l1(const int64_t* starts, const int64_t* ends,
         cy = ends[2 * best + 1];
     }
 }
+
+// pw_gcode_text: render the G-code document body for the SVG front-end
+// (frontends/svg.py polylines_to_gcode) — one bounds-checked pass over the
+// concatenated (n,2) float64 vertex array.  glibc snprintf "%.Nf" and
+// CPython's float formatting are both correctly-rounded fixed-decimal
+// conversions of the exact binary value (ties-to-even), so the text is
+// byte-identical to the Python formatter — pinned by a randomized fuzz
+// over exact binary-fraction ties (tests/test_frontends.py).  Rows end
+// with '\n'; first-vertex rows are "G0 X.. Y..\nM3", last-vertex rows get
+// "\nM5" appended.  Returns bytes written, or -1 when the buffer would
+// overflow (caller falls back to the numpy formatter).
+extern "C" int64_t pw_gcode_text(const double* v, int64_t n,
+                                 const uint8_t* first, const uint8_t* last,
+                                 int dec, char* out, int64_t cap) {
+    char spec[16];
+    snprintf(spec, sizeof spec, "%%.%df", dec);
+    int64_t w = 0;
+    auto lit = [&](const char* s, int64_t len) -> bool {
+        if (cap - w < len) return false;
+        memcpy(out + w, s, (size_t)len);
+        w += len;
+        return true;
+    };
+    for (int64_t i = 0; i < n; i++) {
+        if (!lit(first[i] ? "G0 X" : "G1 X", 4)) return -1;
+        int r = snprintf(out + w, (size_t)(cap - w), spec, v[2 * i]);
+        if (r < 0 || r >= cap - w) return -1;
+        w += r;
+        if (!lit(" Y", 2)) return -1;
+        r = snprintf(out + w, (size_t)(cap - w), spec, v[2 * i + 1]);
+        if (r < 0 || r >= cap - w) return -1;
+        w += r;
+        if (first[i]) { if (!lit("\nM3", 3)) return -1; }
+        else if (last[i]) { if (!lit("\nM5", 3)) return -1; }
+        if (!lit("\n", 1)) return -1;
+    }
+    return w;
+}

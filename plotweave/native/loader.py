@@ -277,6 +277,16 @@ def bind_skeleton_ops(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.pw_gcode_tokens.restype = ctypes.c_int64
+    lib.pw_gcode_text.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+    ]
+    lib.pw_gcode_text.restype = ctypes.c_int64
     lib.pw_order_l1.argtypes = [
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),

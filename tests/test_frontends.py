@@ -485,3 +485,45 @@ def test_polylines_to_gcode_matches_scalar_loop():
         assert polylines_to_gcode(polys, dec) == scalar(polys, dec)
     assert polylines_to_gcode([], 3) == scalar([], 3)
     assert polylines_to_gcode([np.zeros((1, 2))], 3) == scalar([np.zeros((1, 2))], 3)
+
+
+def test_polylines_to_gcode_native_matches_numpy_and_formatter_ties():
+    """The native text renderer must equal the numpy fallback byte-for-byte
+    (same documents), and glibc snprintf "%.Nf" must equal Python's
+    formatter on exact binary-fraction decimal ties."""
+    from plotweave.frontends import svg as S
+    from plotweave.native.api import gcode_text_native
+
+    rng = np.random.default_rng(17)
+    polys = [rng.uniform(-300, 300, (int(rng.integers(2, 50)), 2))
+             for _ in range(40)]
+    # exact binary fractions: many land exactly on a 3/4-decimal tie
+    polys.append((rng.integers(-64000, 64000, (500, 2)) / np.float64(16.0)))
+    polys.append((rng.integers(-800000, 800000, (500, 2)) / np.float64(8000.0)))
+
+    native_doc = S.polylines_to_gcode(polys, 3)
+    if gcode_text_native(np.zeros((1, 2)), np.zeros(1, bool),
+                         np.ones(1, bool), 3) is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    import unittest.mock as mock
+
+    with mock.patch("plotweave.native.api.gcode_text_native",
+                    return_value=None):
+        numpy_doc = S.polylines_to_gcode(polys, 3)
+    assert native_doc == numpy_doc
+
+    # scalar formatter parity on the tie values themselves
+    vals = np.concatenate([p.ravel() for p in polys[-2:]])
+    body = gcode_text_native(
+        vals.reshape(-1, 2),
+        np.zeros(len(vals) // 2, bool),
+        np.zeros(len(vals) // 2, bool),
+        3,
+    )
+    expect = "".join(
+        f"G1 X{x:.3f} Y{y:.3f}\n" for x, y in vals.reshape(-1, 2)
+    )
+    assert body == expect
