@@ -14,8 +14,13 @@ Parsing is vectorized: one native C pass tokenizes the whole document
 encoder.cpp ``pw_gcode_tokens``; regex+float() fallback when the library
 is missing or the text is non-ASCII), then numpy forward-fill/grouping
 runs the per-line state machine — ~40× the line-by-line parser on large
-documents.  Files using the rare stateful words (G91 relative, G20
-inches) fall back to the exact Python state machine; all paths are
+documents.  G20/G21 unit switches are handled vectorized (token-time unit
+state, elementwise inch→mm scale); G91 relative mode keeps the vectorized
+tokenizer and replays only the x/y accumulation in a tight loop over move
+lines (bit-identical float op order).  Only documents whose G/M/X/Y/Z
+tokens carry non-finite values (inf/nan literals, 1e999-style overflow —
+detected per token AFTER comment stripping, so "info"-style comments
+stay fast) dispatch to the exact Python state machine; all paths are
 fuzz-pinned equal (tests/test_frontends.py::test_fast_parser_matches_exact,
 ::test_native_tokenizer_matches_regex).
 """
@@ -68,12 +73,12 @@ class _State:
 def parse_polylines_mm(text: str):
     """All pen-down polylines in mm + the pen-down move count.
 
-    Dispatches to the vectorized parser; documents using the rare stateful
-    words it does not model (G91 relative, G20 inches, literal nan/inf
-    coordinate values) take the exact line-by-line state machine.  Both
-    return the same geometry — polylines come back as (N, 2) float arrays
-    from the fast path and lists of (x, y) tuples from the exact path;
-    every consumer accepts either."""
+    Dispatches to the vectorized parser; only documents whose G/M/X/Y/Z
+    tokens carry non-finite values (nan/inf literals or overflow — where
+    CPython's int(inf)/nan-coordinate semantics apply) take the exact
+    line-by-line state machine.  Both return the same geometry — polylines
+    come back as (N, 2) float arrays from the fast path and lists of
+    (x, y) tuples from the exact path; every consumer accepts either."""
     fast = _parse_polylines_mm_fast(text)
     if fast is not None:
         return fast
@@ -88,6 +93,14 @@ _TOKEN_RE = re.compile(r"(?<!\S)(\S)(\S*)")
 # stray ')' dropped
 _SEMI_RE = re.compile(r";[^\n]*")
 _PAREN_RE = re.compile(r"\([^)\n]*\)?|\)")
+
+# tokenizer verdict: the document has a non-finite value on a token the
+# exact parser would float() — dispatch to the exact state machine
+_NEEDS_EXACT = object()
+# CPython float()'s nan literal (inf literals parse to inf and are caught
+# numerically; nan needs a text check because NaN doubles also mean
+# "invalid token" in the fast path)
+_NAN_LIT_RE = re.compile(r"[+-]?nan", re.IGNORECASE)
 
 
 def _ffill(vals: np.ndarray, init: float) -> np.ndarray:
@@ -116,18 +129,24 @@ def _tokenize_native(text: str):
     """One C pass over the normalized document: comment strip + whitespace
     split + CPython-float() per token (native/encoder.cpp pw_gcode_tokens,
     fuzz-pinned equal to :func:`_tokenize_regex`).  None → use the regex
-    tokenizer (library missing, non-ASCII text, or a value that overflows
-    to ±inf — where the regex path reproduces Python's OverflowError)."""
-    from ..native.api import gcode_tokens_native  # noqa: PLC0415
+    tokenizer (library missing or non-ASCII text); _NEEDS_EXACT → a
+    G/M/X/Y/Z token carries a non-finite value (inf/nan literal or
+    1e999-style overflow, which CPython float() saturates to ±inf), so the
+    document takes the exact line-by-line parser."""
+    from ..native.api import GCODE_NEEDS_EXACT, gcode_tokens_native  # noqa: PLC0415
 
     nat = gcode_tokens_native(text)
+    if nat is GCODE_NEEDS_EXACT:
+        return _NEEDS_EXACT
     if nat is None:
         return None
     return _tok_result(*nat)
 
 
 def _tokenize_regex(text: str):
-    """Regex/np.fromiter tokenizer (the pre-native fast path)."""
+    """Regex/np.fromiter tokenizer (the pre-native fast path).  Applies the
+    same non-finite dispatch rule as the native tokenizer (returns
+    _NEEDS_EXACT)."""
     body = _PAREN_RE.sub("", _SEMI_RE.sub("", text))
     body = body.replace("\n", " \x00 ")
     pairs = _TOKEN_RE.findall(body)
@@ -149,6 +168,22 @@ def _tokenize_regex(text: str):
     line_id = line_id[keep]
     if not len(cmds):
         return None
+    # non-finite dispatch (post-comment-strip, per token — a "nan"/"inf"
+    # inside a comment never lands here): ±inf on any G/M/X/Y/Z value
+    # (inf literals and 1e999-style overflow both parse to inf in CPython;
+    # the exact parser raises OverflowError at int(inf) on G/M and trips
+    # the non-finite guard on coordinates) or a literal nan on X/Y/Z
+    # (float("nan") IS a value to the exact parser, but NaN means "invalid
+    # token" in the fast path).  G/M nan literals stay fast: the exact
+    # parser's int(nan) raises ValueError and ignores the token, exactly
+    # like the fast path's NaN mask.
+    if np.isinf(vals[np.isin(cmds, tuple("GMXYZ"))]).any():
+        return _NEEDS_EXACT
+    xyz_nan = np.isin(cmds, tuple("XYZ")) & np.isnan(vals)
+    if xyz_nan.any():
+        rests = [pairs[i][1] for i in np.flatnonzero(keep)]
+        if any(_NAN_LIT_RE.fullmatch(rests[i]) for i in np.flatnonzero(xyz_nan)):
+            return _NEEDS_EXACT
     # U1 → codepoint so both tokenizers share the mask tail; non-ASCII
     # first chars are fine (they just never equal ord('G')..ord('Z'))
     cmds_u8 = cmds.view(np.uint32)
@@ -156,10 +191,8 @@ def _tokenize_regex(text: str):
 
 
 def _parse_polylines_mm_fast(text: str):
-    """Vectorized absolute-mm parser; None → caller falls back to exact."""
-    low = text.lower()
-    if "nan" in low or "inf" in low:
-        return None  # float('nan')-class coordinate values: exact path only
+    """Vectorized parser (full dialect: G20/G21 units, G90/G91 modes);
+    None → caller falls back to exact (non-finite G/M/X/Y/Z values)."""
     if "\x00" in text:
         return None  # literal NULs would collide with the line sentinel
 
@@ -170,14 +203,27 @@ def _parse_polylines_mm_fast(text: str):
     tok = _tokenize_native(text)
     if tok is None:
         tok = _tokenize_regex(text)
+    if tok is _NEEDS_EXACT:
+        return None
     if tok is None:
         return [], 0
     is_g, is_m, is_x, is_y, is_z, vals, line_id, n_lines = tok
 
-    gv = vals[is_g]
-    gcodes = np.trunc(gv[~np.isnan(gv)]).astype(np.int64)
-    if np.isin(gcodes, (91, 20)).any():
-        return None  # relative moves / inch units: exact path only
+    g_ok = is_g & ~np.isnan(vals)
+    gv = np.trunc(vals[g_ok])  # int(float(val)) truncates: "G91.5" → 91
+
+    # G20/G21 units: the exact parser scales each X/Y/Z value at TOKEN
+    # time by the unit state after any earlier G20/G21 token (mid-line
+    # switches included) — a token-order forward fill + one elementwise
+    # multiply per value reproduces the scalar `v *= INCH_TO_MM` exactly
+    if (gv == 20.0).any():
+        uevt = np.full(len(vals), np.nan)
+        gidx = np.flatnonzero(g_ok)
+        uevt[gidx[gv == 20.0]] = 0.0
+        uevt[gidx[gv == 21.0]] = 1.0
+        inch = _ffill(uevt, 1.0) == 0.0
+        sc = (is_x | is_y | is_z) & inch
+        vals = np.where(sc, vals * INCH_TO_MM, vals)
 
     def last_per_line(mask) -> np.ndarray:
         out = np.full(n_lines, np.nan)
@@ -203,11 +249,25 @@ def _parse_polylines_mm_fast(text: str):
     # pen state after each line's tokens (applies before that line's move)
     pen = _ffill(np.where(evt >= 0, evt.astype(np.float64), np.nan), 0.0) > 0.5
 
+    # G90/G91: st.absolute is read AFTER the line's token loop, so a
+    # line's move uses the state set by its LAST G90/G91 token (or carried
+    # from earlier lines); "last wins" assignment + line-order forward fill
+    absl = None
+    if (gv == 91.0).any():
+        aevt = np.full(n_lines, np.nan)
+        g_lines = line_id[g_ok]
+        sw = np.isin(gv, (90.0, 91.0))
+        aevt[g_lines[sw]] = (gv[sw] == 90.0)  # document order: later wins
+        absl = _ffill(aevt, 1.0) > 0.5
+
     move = ~np.isnan(x_line) | ~np.isnan(y_line)
     if not move.any():
         return [], 0
-    xs = _ffill(x_line[move], 0.0)
-    ys = _ffill(y_line[move], 0.0)
+    if absl is None or absl[move].all():
+        xs = _ffill(x_line[move], 0.0)
+        ys = _ffill(y_line[move], 0.0)
+    else:
+        xs, ys = _replay_moves(x_line[move], y_line[move], absl[move])
     pd = pen[move]
     pen_moves = int(pd.sum())
     if pen_moves == 0:
@@ -233,6 +293,32 @@ def _parse_polylines_mm_fast(text: str):
         for f, seg in zip(firsts, np.split(pts, cuts))
     ]
     return paths, pen_moves
+
+
+def _replay_moves(xl: np.ndarray, yl: np.ndarray, am: np.ndarray):
+    """x/y position after each move line when G91 relative lines are
+    present — a tight loop over MOVE LINES ONLY (the vectorized tokenizer
+    and per-line reductions still did the heavy lifting), preserving the
+    exact parser's float op order bit-for-bit: plain reassignment in
+    absolute mode, `st.x += nx or 0.0` in relative mode — including the
+    `or`'s -0.0 → +0.0 coercion (X-0 accumulates +0.0, not -0.0)."""
+    n = len(xl)
+    xs = np.empty(n)
+    ys = np.empty(n)
+    x = y = 0.0
+    for i in range(n):
+        nx, ny = xl[i], yl[i]
+        if am[i]:
+            if nx == nx:  # not NaN ("no X on this line")
+                x = float(nx)
+            if ny == ny:
+                y = float(ny)
+        else:
+            x += (float(nx) if nx == nx else None) or 0.0
+            y += (float(ny) if ny == ny else None) or 0.0
+        xs[i] = x
+        ys[i] = y
+    return xs, ys
 
 
 def _parse_polylines_mm_py(text: str) -> Tuple[List[List[PointMM]], int]:

@@ -566,16 +566,26 @@ def component_path_native(
     return out[:n] if n > 0 else out[:0]
 
 
+# verdict marker: the document has a non-finite value (inf/nan literal or
+# overflow — CPython float("1e999") saturates to ±inf, it does NOT raise)
+# on a token the exact G-code parser would float(); the caller must
+# dispatch the document to the exact line-by-line parser
+GCODE_NEEDS_EXACT = object()
+
+
 def gcode_tokens_native(text: str):
     """Native tokenizer for the vectorized G-code parser.
 
     Input is the "\\n"-normalized document text.  Returns
     ``(cmds uint8 uppercased-first-chars, vals float64, line_id int32)``
     post-comment-strip, exactly the arrays the regex tokenizer in
-    frontends/gcode.py computes (fuzz-pinned) — or None when the library is
-    missing, the text is non-ASCII (Python's str whitespace/float() accept
-    Unicode the C scanner must not guess at), or a value overflows to
-    +-inf (Python raises OverflowError there; the regex path reproduces it).
+    frontends/gcode.py computes (fuzz-pinned); None when the library is
+    missing or the text is non-ASCII (Python's str whitespace/float()
+    accept Unicode the C scanner must not guess at); or
+    :data:`GCODE_NEEDS_EXACT` when a G/M/X/Y/Z token carries a non-finite
+    value — inf (literal or overflow) or a nan coordinate literal — whose
+    CPython semantics (int(inf) → OverflowError on G/M, nan/inf flowing
+    into the geometry on X/Y/Z) only the exact parser reproduces.
     """
     from .loader import bind_skeleton_ops  # noqa: PLC0415
 
@@ -601,6 +611,8 @@ def gcode_tokens_native(text: str):
         vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         line_id.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
+    if n == -2:
+        return GCODE_NEEDS_EXACT
     if n < 0:
         return None
     return cmds[:n], vals[:n], line_id[:n]

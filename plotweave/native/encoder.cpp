@@ -1408,11 +1408,17 @@ extern "C" void pw_km_assign(const uint8_t* lab, int64_t N, const float* centers
 //
 // python_float follows CPython's float() grammar exactly: optional sign,
 // decimal digit runs with single underscores BETWEEN digits, optional
-// fraction and exponent; no hex, no inf/nan literals (the caller
-// pre-screens "inf"/"nan" text and non-ASCII documents to other paths).
-// A value that overflows to +-inf makes the whole call return -1: CPython
-// raises OverflowError there, so the caller falls back to the regex
-// tokenizer and the behavior (that exception) stays identical.
+// fraction and exponent; no hex.  inf/nan literals ("inf", "Infinity",
+// "nan", optionally signed — CPython accepts them case-insensitively) are
+// recognized separately: a non-finite value on a token the exact parser
+// would float() (G/M/X/Y/Z) makes the whole call return -2, telling the
+// caller to dispatch the document to the exact line-by-line parser, which
+// reproduces CPython's semantics for them (int(inf) raises OverflowError
+// on G/M; a nan/inf coordinate flows into the geometry and trips the
+// non-finite guard in mm_polylines_to_steps).  Note float("1e999") does
+// NOT raise in CPython — it saturates to +-inf, so overflow is just
+// another way to produce a non-finite value here.  Non-finite values on
+// other command letters (the exact parser ignores them) are stored as-is.
 static locale_t pw_c_locale() {
     static locale_t loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
     return loc;
@@ -1461,9 +1467,36 @@ static int pw_py_float(const char* s, int64_t len, double* out,
     if (i != len) return 0;
     char* end = nullptr;
     double v = strtod_l(num.c_str(), &end, pw_c_locale());
-    if (std::isinf(v)) return 2;
-    *out = v;
-    return 1;
+    *out = v;                       // +-HUGE_VAL on overflow, like CPython
+    return std::isinf(v) ? 2 : 1;
+}
+
+// CPython float() inf/nan literal grammar: [+-]?(inf(inity)?|nan), case-
+// insensitive, no underscores.  Returns 0 = no match, 1 = +-inf (*out
+// set), 2 = nan (*out set to quiet NaN).
+static int pw_py_nonfinite(const char* s, int64_t len, double* out) {
+    if (len <= 0) return 0;
+    double sign = 1.0;
+    int64_t i = 0;
+    if (s[i] == '+' || s[i] == '-') { sign = (s[i] == '-') ? -1.0 : 1.0; i++; }
+    auto eq = [&](const char* word, int64_t wl) -> bool {
+        if (len - i != wl) return false;
+        for (int64_t k = 0; k < wl; k++) {
+            char c = s[i + k];
+            if (c >= 'A' && c <= 'Z') c = (char)(c + 32);
+            if (c != word[k]) return false;
+        }
+        return true;
+    };
+    if (eq("inf", 3) || eq("infinity", 8)) {
+        *out = sign * std::numeric_limits<double>::infinity();
+        return 1;
+    }
+    if (eq("nan", 3)) {
+        *out = std::numeric_limits<double>::quiet_NaN();
+        return 2;
+    }
+    return 0;
 }
 
 extern "C" int64_t pw_gcode_tokens(
@@ -1497,11 +1530,23 @@ extern "C" int64_t pw_gcode_tokens(
             while (j < m && s[j] != ' ' && s[j] != '\t') j++;
             char c0 = s[ts];
             if (c0 >= 'a' && c0 <= 'z') c0 = (char)(c0 - 32);
+            bool xyz = (c0 == 'X' || c0 == 'Y' || c0 == 'Z');
+            bool gmxyz = xyz || c0 == 'G' || c0 == 'M';
             double v = NaN;
             int st = pw_py_float(s + ts + 1, j - ts - 1, &v, num);
-            if (st == 2) return -1;  // OverflowError parity via fallback
+            if (st == 2) {
+                // overflow saturates to +-inf like CPython float(); a
+                // non-finite value the exact parser would float() means
+                // the document needs the exact path (-2)
+                if (gmxyz) return -2;
+            } else if (st == 0) {
+                int lit = pw_py_nonfinite(s + ts + 1, j - ts - 1, &v);
+                if (lit == 1 && gmxyz) return -2;  // inf literal
+                if (lit == 2 && xyz) return -2;    // nan coordinate literal
+                if (lit == 0) v = NaN;             // invalid-token sentinel
+            }
             cmds[out] = (uint8_t)c0;
-            vals[out] = (st == 1) ? v : NaN;
+            vals[out] = v;
             line_id[out] = line;
             out++;
         }
@@ -1548,9 +1593,19 @@ extern "C" void pw_order_l1(const int64_t* starts, const int64_t* ends,
 // with '\n'; first-vertex rows are "G0 X.. Y..\nM3", last-vertex rows get
 // "\nM5" appended.  Returns bytes written, or -1 when the buffer would
 // overflow (caller falls back to the numpy formatter).
+// snprintf "%.Nf" is locale-sensitive (LC_NUMERIC can swap the decimal
+// point to a comma, silently corrupting the G-code); pin the C locale for
+// the duration of the call, like the tokenizer's strtod_l does.
+struct PwCLocaleScope {
+    locale_t prev;
+    PwCLocaleScope() : prev(uselocale(pw_c_locale())) {}
+    ~PwCLocaleScope() { uselocale(prev); }
+};
+
 extern "C" int64_t pw_gcode_text(const double* v, int64_t n,
                                  const uint8_t* first, const uint8_t* last,
                                  int dec, char* out, int64_t cap) {
+    PwCLocaleScope c_locale;
     char spec[16];
     snprintf(spec, sizeof spec, "%%.%df", dec);
     int64_t w = 0;

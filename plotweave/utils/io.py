@@ -22,6 +22,33 @@ def load_pickle(path: str) -> Any:
         return pickle.load(f)
 
 
+class _FirstByteGuard:
+    """Write-through proxy that replaces the stream's first byte with an
+    invalid pickle opcode until :meth:`finish` restores it — so a save
+    interrupted anywhere mid-dump leaves a loudly-invalid file instead of
+    silently-wrong new-prefix+old-suffix bytes (save_pickle overwrites in
+    place for tmpfs page reuse)."""
+
+    def __init__(self, f):
+        self._f = f
+        self._first: bytes | None = None
+
+    def write(self, b) -> int:
+        if self._first is None:
+            b = bytes(b)
+            self._first = b[:1]
+            self._f.write(b"\x00")
+            if len(b) > 1:
+                self._f.write(b[1:])
+            return len(b)
+        return self._f.write(b)
+
+    def finish(self) -> None:
+        if self._first is not None:
+            self._f.seek(0)
+            self._f.write(self._first)
+
+
 def save_pickle(obj: Any, path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # overwrite in place ("r+b") instead of truncating: O_TRUNC frees the
@@ -42,8 +69,17 @@ def save_pickle(obj: Any, path: str) -> None:
         # (measured 0.53 → 0.33 s on a 60 MB spun-layer contour list; four
         # stages dump one of these per 4K layer).  Artifact equality is
         # semantic (tests load both sides), not byte-of-pickle.
-        pickle.dump(obj, f, protocol=5)
+        #
+        # Crash consistency: overwrite-in-place could leave new-prefix +
+        # old-suffix bytes that UNPICKLE WITHOUT ERROR to wrong data.  The
+        # guard below holds the first byte back as an invalid opcode
+        # (\x00) for the whole dump and only restores the real first byte
+        # (\x80, PROTO) after the truncate — any interrupted save leaves a
+        # file that pickle.load rejects loudly at byte 0.
+        guard = _FirstByteGuard(f)
+        pickle.dump(obj, guard, protocol=5)
         f.truncate()
+        guard.finish()
     # the file on disk stays the source of truth; the registry only skips
     # the redundant re-read while the signature matches.  Consumers must
     # treat loaded artifacts as immutable (they already do — every stage
@@ -120,15 +156,19 @@ _PICKLE_HANDOFF_BYTES = [0]
 _HANDOFF_MISS = object()
 
 
-def _approx_nbytes(obj) -> int:
-    """Rough ndarray payload size of a stage artifact (arrays, possibly
-    nested one level in lists/tuples/dict values — the shapes stages use)."""
+def _approx_nbytes(obj, _depth: int = 3) -> int:
+    """Rough ndarray payload size of a stage artifact.  Recurses through
+    lists/tuples/dict values to a small depth cap so list-of-dicts-of-arrays
+    shapes (contour lists — exactly the large artifacts the byte budget
+    exists to evict) are counted, not registered as 0 bytes."""
     if isinstance(obj, np.ndarray):
         return obj.nbytes
+    if _depth <= 0:
+        return 0
     if isinstance(obj, (list, tuple)):
-        return sum(a.nbytes for a in obj if isinstance(a, np.ndarray))
+        return sum(_approx_nbytes(a, _depth - 1) for a in obj)
     if isinstance(obj, dict):
-        return sum(a.nbytes for a in obj.values() if isinstance(a, np.ndarray))
+        return sum(_approx_nbytes(a, _depth - 1) for a in obj.values())
     return 0
 
 

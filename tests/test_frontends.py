@@ -83,30 +83,125 @@ def _fuzz_gcode(rng, allow_stateful=False) -> str:
 
 def test_fast_parser_matches_exact():
     """The vectorized parser must reproduce the exact state machine's
-    geometry and move count on documents inside its dialect, and DISPATCH
-    to the exact parser on G91/G20 documents."""
+    geometry and move count on every fuzz document — including the G91
+    relative and G20 inch dialects it now models natively."""
     from plotweave.frontends.gcode import (
         _parse_polylines_mm_fast,
         _parse_polylines_mm_py,
     )
 
     rng = np.random.default_rng(7)
-    n_fast = 0
     for trial in range(60):
         text = _fuzz_gcode(rng, allow_stateful=(trial % 3 == 2))
         exact_paths, exact_moves = _parse_polylines_mm_py(text)
         fast = _parse_polylines_mm_fast(text)
-        if fast is None:
-            # fallback only for the stateful words the fast path excludes
-            assert ("91" in text) or ("20" in text and "G20" in text.upper()), text
-            continue
-        n_fast += 1
+        assert fast is not None, text  # finite-valued docs never fall back
         fast_paths, fast_moves = fast
         assert fast_moves == exact_moves, text
         assert len(fast_paths) == len(exact_paths), text
         for fp, ep in zip(fast_paths, exact_paths):
             assert np.array_equal(np.asarray(fp), np.asarray(ep, dtype=np.float64)), text
-    assert n_fast >= 30  # the fast path must actually be exercised
+
+
+def _fuzz_gcode_stateful(rng) -> str:
+    """Dialect-heavy fuzz: dense G90/G91/G20/G21 switching, including
+    mid-line switches (unit state applies at token time, absolute state at
+    line end), signed zeros, and repeated X words."""
+    lines = []
+    for _ in range(int(rng.integers(30, 150))):
+        r = rng.random()
+        if r < 0.25:
+            lines.append(str(rng.choice(["G91", "G90", "G20", "G21", "g91", "g20"])))
+        elif r < 0.35:
+            # mid-line state switches
+            lines.append(str(rng.choice([
+                "G20 X1 G21 Y1", "G91 X5 G90 X10", "X2 G20 Y2",
+                "G90 G91 X1 Y1", "G21 (c) G20 X0.5", "G91.7 X1", "G20.2 Y3",
+            ])))
+        elif r < 0.45:
+            lines.append(str(rng.choice(["M3", "M5", "m4", "G1 Z-1", "G1 Z1"])))
+        elif r < 0.52:
+            lines.append(str(rng.choice(["X-0.000", "X-0 Y-0", "G91 X-0.000"])))
+        else:
+            parts = ["G1"]
+            if rng.random() < 0.85:
+                parts.append(f"X{rng.uniform(-8, 8):.3f}")
+            if rng.random() < 0.85:
+                parts.append(f"Y{rng.uniform(-8, 8):.3f}")
+            if rng.random() < 0.1:
+                parts.append(f"Z{rng.uniform(-1, 1):.2f}")
+            lines.append(" ".join(parts))
+    return "\n".join(lines)
+
+
+def test_fast_parser_stateful_dialect_matches_exact():
+    """G91 relative accumulation and G20 inch scaling must be bit-identical
+    to the exact state machine (incl. -0.0 'or' coercion and token-time
+    unit state)."""
+    from plotweave.frontends.gcode import (
+        _parse_polylines_mm_fast,
+        _parse_polylines_mm_py,
+    )
+
+    rng = np.random.default_rng(13)
+    for _ in range(40):
+        text = _fuzz_gcode_stateful(rng)
+        exact_paths, exact_moves = _parse_polylines_mm_py(text)
+        fast = _parse_polylines_mm_fast(text)
+        assert fast is not None, text
+        fast_paths, fast_moves = fast
+        assert fast_moves == exact_moves, text
+        assert len(fast_paths) == len(exact_paths), text
+        for fp, ep in zip(fast_paths, exact_paths):
+            fa, ea = np.asarray(fp), np.asarray(ep, dtype=np.float64)
+            assert fa.shape == ea.shape, text
+            # bit-identical, signed zeros included
+            assert np.array_equal(fa.view(np.uint64), ea.view(np.uint64)), text
+
+
+def test_fast_parser_nonfinite_dispatch():
+    """Only documents whose G/M/X/Y/Z tokens carry non-finite VALUES fall
+    back to the exact parser; nan/inf inside comments or harmless words
+    ("INFO") stay on the fast path (regression: the old substring screen
+    cost 16x on files with 'info'-style comments)."""
+    from plotweave.frontends.gcode import (
+        _parse_polylines_mm_fast,
+        _parse_polylines_mm_py,
+    )
+
+    # these must STAY fast
+    for text in [
+        "; info: generated by nanotool\nM3\nG1 X10 Y10\nM5",
+        "(infinity calibration)\nM3\nG1 X1 Y2",
+        "INFO\nM3\nG1 X3 Y4",  # bare word: 'I' command, ignored by both
+        "G1 Xnani Y2",          # invalid token, not the nan literal
+        "M3\nMnan\nG1 X1 Y1",   # G/M nan literal == ignored token on both
+        "Finf\nM3\nG1 X2 Y2",   # F values are never parsed
+    ]:
+        fast = _parse_polylines_mm_fast(text)
+        assert fast is not None, text
+        exact_paths, exact_moves = _parse_polylines_mm_py(text)
+        assert fast[1] == exact_moves, text
+        assert len(fast[0]) == len(exact_paths), text
+        for fp, ep in zip(fast[0], exact_paths):
+            assert np.array_equal(np.asarray(fp), np.asarray(ep, np.float64)), text
+
+    # these must DISPATCH (non-finite value on a parsed token)
+    for text in [
+        "M3\nG1 Xnan Y1",       # nan coordinate literal
+        "M3\nG1 X-NAN Y1",
+        "M3\nG1 Xinf Y1",       # inf coordinate literal
+        "M3\nG1 X+Infinity Y1",
+        "M3\nG1 X1e999 Y1",     # overflow saturates to inf
+        "M3\nZ-inf\nG1 X1 Y1",  # z pen inference on non-finite
+        "Znan\nG1 X1 Y1",       # exact sets pen=False from nan<=0
+    ]:
+        assert _parse_polylines_mm_fast(text) is None, text
+    # Ginf raises OverflowError in the exact parser (int(inf)); the fast
+    # path must dispatch so the exception surfaces identically
+    assert _parse_polylines_mm_fast("Ginf\nG1 X1 Y1") is None
+    with pytest.raises(OverflowError):
+        _parse_polylines_mm_py("Ginf\nG1 X1 Y1")
 
 
 def test_fast_parser_line_separator_parity():
@@ -243,6 +338,47 @@ def test_demo_generator(tmp_path):
     assert json.loads((tmp_path / "demo.json").read_text())["bytes"] == len(data)
 
 
+def _manifest_fixture_tools():
+    import importlib
+    import sys as _sys
+
+    tools = str(Path(__file__).parent / "tools")
+    if tools not in _sys.path:
+        _sys.path.insert(0, tools)
+    return importlib.import_module("gen_manifest_creator_golden")
+
+
+def test_manifest_creator_byte_equality_vs_reference_golden(tmp_path):
+    """stream/manifest_creator.py::build must be byte-identical to the
+    reference creator (shared/omnirevolve_plotter_stream_creator.py:93-178)
+    on the committed oracle golden: layer sort by color index, entry-level
+    color fallbacks, (N,1,2) OpenCV contours, clamping, half-even rounding,
+    <2-point filtering, taps-only/empty layers, missing-file skip, and the
+    explicit initial set_speed byte (creator:126)."""
+    from plotweave.stream.manifest_creator import build
+
+    gen = _manifest_fixture_tools()
+    golden = Path(__file__).parent / "golden" / "manifest_creator_ref.bin"
+    mp = gen.make_fixture(tmp_path / "vec")
+    data = build(mp, tmp_path / "out.bin", gen.W_STEPS, gen.H_STEPS, MotionProfile())
+    assert data == golden.read_bytes()
+
+
+@pytest.mark.oracle
+def test_manifest_creator_byte_equality_vs_live_reference(tmp_path):
+    """Same comparison against the LIVE reference CLI (subprocess), on a
+    different seed than the committed golden."""
+    from plotweave.stream.manifest_creator import build
+
+    gen = _manifest_fixture_tools()
+    if not gen.REF_CREATOR.exists():
+        pytest.skip("reference creator not mounted")
+    mp = gen.make_fixture(tmp_path / "vec", seed=77)
+    ref = gen.run_reference(mp, tmp_path / "ref.bin")
+    data = build(mp, tmp_path / "out.bin", gen.W_STEPS, gen.H_STEPS, MotionProfile())
+    assert data == ref
+
+
 def test_manifest_creator(tmp_path):
     import pickle
 
@@ -299,8 +435,8 @@ def test_native_tokenizer_matches_regex():
     the regex+float() tokenizer token-for-token: same command masks, same
     values (CPython float grammar: underscores between digits, no hex),
     same line ids — across comment forms, malformed numerics and junk
-    tokens.  Non-ASCII and overflow-to-inf documents must dispatch to the
-    regex path (None)."""
+    tokens.  Non-ASCII documents must dispatch to the regex path (None);
+    non-finite G/M/X/Y/Z values must return the exact-parser marker."""
     from plotweave.frontends.gcode import _tokenize_native, _tokenize_regex
 
     if _tokenize_native("G1 X1") is None:
@@ -345,9 +481,15 @@ def test_native_tokenizer_matches_regex():
         assert np.array_equal(np.asarray(nat[6]), np.asarray(reg[6])), text
         assert nat[7] == reg[7], text
 
-    # dispatch gates: non-ASCII text and OverflowError-class values
+    # dispatch gates: non-ASCII text → regex path; non-finite values on
+    # parsed tokens → exact parser (float("1e999") saturates to inf in
+    # CPython — it does NOT raise — and inf coordinates belong to the
+    # exact parser's semantics)
+    from plotweave.frontends.gcode import _NEEDS_EXACT
+
     assert _tokenize_native("G1 X1  Y2") is None
-    assert _tokenize_native("G1 X1e999") is None  # Python raises OverflowError
+    assert _tokenize_native("G1 X1e999") is _NEEDS_EXACT
+    assert _tokenize_regex("G1 X1e999") is _NEEDS_EXACT
     assert _tokenize_native("G1 X1 \x00Y2") is None
 
 
@@ -377,7 +519,11 @@ def test_native_tokenizer_float_grammar_fuzz():
     '.', signs, exponents) — the C grammar must accept/reject and parse
     every one exactly like CPython float(): same NaN-vs-value decision,
     bit-identical doubles."""
-    from plotweave.frontends.gcode import _tokenize_native, _tokenize_regex
+    from plotweave.frontends.gcode import (
+        _NEEDS_EXACT,
+        _tokenize_native,
+        _tokenize_regex,
+    )
 
     if _tokenize_native("G1 X1") is None:
         import pytest
@@ -396,21 +542,20 @@ def test_native_tokenizer_float_grammar_fuzz():
             toks.append("X" + body)
         text = "\n".join(" ".join(toks[i : i + 6]) for i in range(0, len(toks), 6))
         nat = _tokenize_native(text)
-        if nat is None:
-            # only legitimate cause here: a value overflowing to +-inf
-            # (where the regex path would raise OverflowError, so don't
-            # call it — replicate float() per token instead)
+        if nat is _NEEDS_EXACT:
+            # only legitimate cause here: a value saturating to +-inf
+            # (CPython float("1e999") returns inf — it does not raise);
+            # the regex tokenizer must agree on the dispatch
             has_inf = False
             for t in toks:
                 try:
-                    has_inf |= np.isinf(float(t[1:]))
+                    has_inf |= bool(np.isinf(float(t[1:])))
                 except ValueError:
-                    continue  # invalid token → NaN, not a fallback cause
-                except OverflowError:
-                    has_inf = True
-                    break
+                    continue  # invalid token → NaN, not a dispatch cause
             assert has_inf, text
+            assert _tokenize_regex(text) is _NEEDS_EXACT, text
             continue
+        assert nat is not None, text
         reg = _tokenize_regex(text)
         nv, rv = np.asarray(nat[5]), np.asarray(reg[5])
         same = (nv == rv) | (np.isnan(nv) & np.isnan(rv))

@@ -214,3 +214,47 @@ def test_kmeans_device_init_mode(tmp_path):
     sa = (out_a / "plot_stream.bin").read_bytes()
     sb = (out_b / "plot_stream.bin").read_bytes()
     assert sa == sb  # converged identically on this input
+
+
+def test_save_pickle_interrupted_overwrite_is_loudly_invalid(tmp_path):
+    """save_pickle overwrites in place (tmpfs page reuse); a save that dies
+    mid-dump must leave a file pickle.load REJECTS — never new-prefix+
+    old-suffix bytes that unpickle silently to wrong data.  The first byte
+    stays an invalid opcode until the dump + truncate complete."""
+    import pickle
+
+    import pytest
+
+    from plotweave.utils.io import _FirstByteGuard, save_pickle
+
+    p = tmp_path / "artifact.pkl"
+    old = {"v": np.arange(1000)}
+    save_pickle(old, str(p))
+    assert pickle.loads(p.read_bytes())["v"].sum() == old["v"].sum()
+
+    # simulate a crash: run the dump through the guard but never finish()
+    new = {"v": np.arange(5)}  # shorter: old suffix would survive
+    with open(p, "r+b") as f:
+        guard = _FirstByteGuard(f)
+        pickle.dump(new, guard, protocol=5)
+        # no truncate, no finish -> the on-disk file must be invalid
+    with pytest.raises(Exception):
+        pickle.loads(p.read_bytes())
+
+    # a completed save over the corrupt file recovers it byte-validly
+    save_pickle(new, str(p))
+    assert pickle.loads(p.read_bytes())["v"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_approx_nbytes_recurses_nested_artifacts():
+    """Byte-budget accounting must see arrays nested in list-of-dicts
+    (contour artifacts) — the exact shapes the budget exists to evict."""
+    from plotweave.utils.io import _approx_nbytes
+
+    a = np.zeros(1000, np.uint8)
+    assert _approx_nbytes(a) == 1000
+    assert _approx_nbytes([a, a]) == 2000
+    assert _approx_nbytes([{"points": a}, {"points": a}]) == 2000
+    assert _approx_nbytes({"layers": [{"points": a}]}) == 1000
+    # depth cap: don't scan unboundedly deep structures
+    assert _approx_nbytes([[[[a]]]]) == 0
