@@ -44,6 +44,22 @@ def test_batch_sharding_bit_identical(eight_devices):
     assert (np.asarray(s_b) == np.asarray(s_1)).all()
 
 
+def test_grid_2d_sharding_bit_identical(eight_devices):
+    """The data×space 2-D grid (dp × sp composed) must be bit-identical to
+    the unsharded fused front-end — not just shape-compatible (round-3
+    verdict #3).  4 images × 2-way batch split × 4-way row split, with the
+    joint fixpoint all-reduce over BOTH mesh axes."""
+    from plotweave.parallel.spatial import grid_frontend
+
+    rng = np.random.default_rng(13)
+    imgs = rng.integers(0, 256, (4, 64, 48, 3)).astype(np.uint8)
+    mesh = make_mesh((2, 4), ("data", "space"), devices=eight_devices)
+    e_g, s_g = grid_frontend(mesh, imgs, CENTERS, k=4)
+    e_1, s_1 = raster_frontend(imgs, CENTERS, k=4)
+    assert (np.asarray(e_g) == np.asarray(e_1)).all()
+    assert (np.asarray(s_g) == np.asarray(s_1)).all()
+
+
 def test_graft_entry_and_dryrun():
     import sys
     from pathlib import Path
