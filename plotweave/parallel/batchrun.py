@@ -2,11 +2,13 @@
 
 The reference parallelizes with a fork pool (03_edge_detect.py:42-48); the
 batch runner's host threads already overlap per-image host stages with
-device waits, but on a multi-chip mesh each image's fused 02→04 dispatch
-would still serialize onto one device.  This module groups the per-image
-dispatches arriving from concurrent worker threads into ONE ``shard_map``
-program over the mesh ``data`` axis, so a batch of images fans out across
-every chip (no cross-image collectives — images are independent).
+device waits, but each image's fused 02→04 dispatch would still pay its own
+device round trip.  This module groups the per-image dispatches arriving
+from concurrent worker threads into ONE ``shard_map`` program over the mesh
+``data`` axis: on a multi-chip mesh the batch fans out across every chip;
+on a SINGLE chip the batch axis amortizes the (slow, high-variance) tunnel
+round trip and dispatch overhead — one upload/compute/download carries the
+whole group (no cross-image collectives — images are independent).
 
 Grouping policy: a submission joins the open group for its (shape, params)
 key; the group dispatches when every live worker is blocked in a submit
@@ -157,8 +159,18 @@ class DeviceBatcher:
 
         arrs = [a for a, _ in batch]
         b = len(arrs)
-        padded = (-b) % self.n_data
-        arrs = arrs + [arrs[0]] * padded
+        # pad to n_data × (rows-per-device bucketed to a power of two):
+        # group sizes jitter with rendezvous timing, and every distinct
+        # padded batch shape is a fresh program — minutes per compile on the
+        # remote TPU compiler — so bucketing bounds the program count per
+        # (shape, params) key at log2(max group) instead of max group.
+        # Padded rows repeat the first image and are discarded after the
+        # fetch, so results stay byte-identical.
+        rows = -(-b // self.n_data)
+        rb = 1
+        while rb < rows:
+            rb *= 2
+        arrs = arrs + [arrs[0]] * (rb * self.n_data - b)
         ok = False
         try:
             fn = _compiled_chain(self.mesh, key[1], key[2])

@@ -134,37 +134,46 @@ def run_pipeline_batch(
     end_step: int = 13,
     workers: int = 0,
     mesh_dp: bool | None = None,
+    devices=None,
 ) -> List[float]:
     """Throughput mode for many images (BASELINE config 4): each image runs
     the full pipeline; a host thread pool overlaps one image's host-side
     stages (tracing, dedup, stream emission, PNG encodes) with the device
-    work of the others.  On a multi-device backend (``mesh_dp`` None=auto)
-    the per-image fused 02→04 chain dispatches additionally rendezvous into
-    one shard_map over the mesh ``data`` axis (parallel/batchrun.py), so the
-    batch fans out across every chip.  Images are independent, so outputs
-    are byte-for-byte the same as sequential runs.  Returns per-image wall
-    seconds."""
+    work of the others.  The per-image fused 02→04 chain dispatches
+    additionally rendezvous into ONE batched program over the mesh ``data``
+    axis (parallel/batchrun.py) — on a multi-chip mesh the batch fans out
+    across every chip; on a SINGLE chip the batch axis amortizes tunnel RTT
+    and dispatch overhead (one round trip carries every image in the group,
+    round-3 verdict #1).  ``mesh_dp`` None=auto engages the rendezvous
+    whenever a usable backend exists and there is more than one image.
+    Images are independent, so outputs are byte-for-byte the same as
+    sequential runs.  ``devices`` restricts the mesh (tests/tools).
+    Returns per-image wall seconds."""
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
-    ndev = 1
-    if mesh_dp is None or mesh_dp:
+    ndev = 0
+    if (mesh_dp is None or mesh_dp) and len(cfgs) > 1:
         try:
             import jax  # noqa: PLC0415
 
-            ndev = len(jax.devices())
+            devs = list(devices) if devices is not None else list(jax.devices())
+            ndev = len(devs)
         except Exception:  # noqa: BLE001 — no usable backend → host threads only
-            ndev = 1
-    use_mesh = ndev > 1 if mesh_dp is None else (mesh_dp and ndev > 1)
+            ndev = 0
+    use_batcher = ndev >= 1
     if not workers:
-        # with a mesh, enough concurrent submitters to fill the data axis
-        workers = min(len(cfgs), max(4, ndev)) if use_mesh else min(4, max(1, len(cfgs)))
+        # enough concurrent submitters to fill the data axis / a useful
+        # single-chip rendezvous group, without drowning the 1-core host
+        workers = min(len(cfgs), max(4, ndev)) if use_batcher else min(4, max(1, len(cfgs)))
 
     batcher = None
-    if use_mesh:
+    if use_batcher:
         from .parallel.batchrun import DeviceBatcher, batcher_ctx  # noqa: PLC0415
         from .parallel.mesh import make_mesh  # noqa: PLC0415
 
-        batcher = DeviceBatcher(make_mesh((ndev,), ("data",)), workers, len(cfgs))
+        batcher = DeviceBatcher(
+            make_mesh((ndev,), ("data",), devices=devs), workers, len(cfgs)
+        )
         print(f"[batch] mesh data-parallelism over {ndev} device(s)")
 
     def one(cfg: PipelineConfig) -> float:

@@ -56,6 +56,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workers", type=int, nargs="+", default=[4, 8, 12])
     ap.add_argument("--n", type=int, default=64)
+    ap.add_argument(
+        "--mesh", choices=["auto", "off"], default="auto",
+        help="auto = dispatch rendezvous on (single-chip batching); "
+        "off = per-image dispatches (the pre-r4 behavior, for A/B)",
+    )
     args = ap.parse_args()
 
     from plotweave.config import load_config, PipelineConfig, save_config
@@ -87,12 +92,14 @@ def main() -> None:
             })
             cfgs.append(load_config(f))
         t0 = time.perf_counter()
-        times = run_pipeline_batch(cfgs, 1, 13, workers=w)
+        times = run_pipeline_batch(
+            cfgs, 1, 13, workers=w, mesh_dp=(None if args.mesh == "auto" else False)
+        )
         wall = time.perf_counter() - t0
         ok = sum(1 for t in times if t >= 0)
         results[w] = wall
         print(json.dumps({
-            "workers": w, "wall_s": round(wall, 1), "ok": ok,
+            "workers": w, "wall_s": round(wall, 1), "ok": ok, "mesh": args.mesh,
             "mpx_per_s": round(mpx / wall, 3),
         }))
         shutil.rmtree(out, ignore_errors=True)
