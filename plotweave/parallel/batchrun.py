@@ -10,12 +10,22 @@ on a SINGLE chip the batch axis amortizes the (slow, high-variance) tunnel
 round trip and dispatch overhead — one upload/compute/download carries the
 whole group (no cross-image collectives — images are independent).
 
-Grouping policy: a submission joins the open group for its (shape, params)
-key; the group dispatches when every live worker is blocked in a submit
-(no further request can possibly arrive) or after a short linger window
-(mixed-shape batches).  Sub-multiple groups are padded by repeating the
-first image and the padded rows discarded — per-image results are therefore
-byte-identical to unbatched runs (all chain compute is integer/bit-packed;
+Scheduling is CONTINUOUS BATCHING (the inference-server pattern): a single
+dispatcher thread owns the device; whenever it is free it takes every
+pending submission for one (shape, params) key and dispatches them as one
+batched program.  Submissions that arrive while a dispatch is in flight
+simply accumulate — groups therefore grow exactly when the device is the
+bottleneck and stay small when it is not, with no tuning.  Host work keeps
+flowing on the worker threads throughout: unlike a rendezvous barrier
+(which parks every worker before dispatching, serializing host and device
+time), the device round trip here always overlaps the other images' host
+stages.  A short accumulation guard (group ≥ live-worker capacity, all
+live workers parked, or a small linger) batches the opening group before
+the pipeline has warmed.
+
+Sub-multiple groups are padded by repeating the first image and the padded
+rows discarded — per-image results are therefore byte-identical to
+unbatched runs (all chain compute is integer/bit-packed;
 tests/test_batch.py::test_batch_mesh_dp_byte_identical).
 """
 
@@ -51,6 +61,7 @@ def batcher_ctx(batcher: "DeviceBatcher"):
     finally:
         with _ACTIVE_LOCK:
             _ACTIVE = None
+        batcher.close()
 
 
 @lru_cache(maxsize=32)
@@ -76,10 +87,12 @@ def _compiled_chain(mesh, w: int, params: Tuple[int, ...]):
 
 
 class DeviceBatcher:
-    """Rendezvous point turning concurrent per-image chain dispatches into
-    mesh-wide batched dispatches.  Thread-safe; one per batch run."""
+    """Continuous-batching dispatcher turning concurrent per-image chain
+    submissions into batched device programs.  Thread-safe; one per batch
+    run; owns a single dispatcher thread (the device is single-tenant —
+    CLAUDE.md — so at most one dispatch is ever in flight)."""
 
-    def __init__(self, mesh, n_workers: int, n_images: int, linger_s: float = 0.5):
+    def __init__(self, mesh, n_workers: int, n_images: int, linger_s: float = 0.2):
         self.mesh = mesh
         self.n_data = int(np.prod(mesh.devices.shape))
         self._workers = max(1, int(n_workers))
@@ -89,6 +102,9 @@ class DeviceBatcher:
         self._pending: Dict[tuple, List[list]] = {}
         self._deadline: Dict[tuple, float] = {}
         self._linger = float(linger_s)
+        self._inflight = 0          # submissions popped but not yet delivered
+        self._shutdown = False
+        self._thread: Optional[threading.Thread] = None
         self.n_dispatches = 0
         self.n_batched_images = 0
 
@@ -101,6 +117,15 @@ class DeviceBatcher:
             self._images_left -= 1
             self._cv.notify_all()
 
+    def close(self) -> None:
+        """Stop the dispatcher thread (drains any pending groups first)."""
+        with self._cv:
+            self._shutdown = True
+            self._cv.notify_all()
+            t = self._thread
+        if t is not None:
+            t.join()
+
     def _capacity(self) -> int:
         return max(1, min(self._workers, self._images_left))
 
@@ -108,61 +133,102 @@ class DeviceBatcher:
     def run_chain(self, packed_np: np.ndarray, w: int, params: Tuple[int, ...]) -> np.ndarray:
         """(k, H, ⌈W/8⌉) uint8 packed one-hot masks → flat uint8 blob
         [packed cleaned masks][packed edges][packed skeletons], identical to
-        stage 02's solo ``_clean_masks_chain`` fetch."""
+        stage 02's solo ``_clean_masks_chain`` fetch.  Blocks until the
+        dispatcher has run this submission's group."""
         key = (packed_np.shape, int(w), tuple(int(p) for p in params))
         slot = [None, None]
         with self._cv:
+            if self._shutdown:
+                raise RuntimeError("DeviceBatcher is closed")
+            if self._thread is None:
+                self._thread = threading.Thread(
+                    target=self._loop, name="pw-batch-dispatch", daemon=True
+                )
+                self._thread.start()
             group = self._pending.setdefault(key, [])
             group.append([packed_np, slot])
             if len(group) == 1:
                 self._deadline[key] = time.monotonic() + self._linger
             self._cv.notify_all()
             while slot[0] is None and slot[1] is None:
-                group = self._pending.get(key)
-                if group and group[0][1] is slot:
-                    # group leader: dispatch when no further submission can
-                    # arrive (every live worker is parked here) or on linger
-                    # expiry; else sleep until one of those can change
-                    npend = sum(len(g) for g in self._pending.values())
-                    now = time.monotonic()
-                    if npend >= self._capacity() or now >= self._deadline[key]:
-                        batch = self._pending.pop(key)
-                        self._deadline.pop(key, None)
-                        # run the device round trip with the lock RELEASED: a
-                        # cold shard_map compile takes minutes (CLAUDE.md),
-                        # and holding the lock would stall image_finished()
-                        # and every other key's submissions/linger expiries.
-                        # The popped batch is private to this leader; waiters
-                        # poll their slots under the lock.
-                        self._cv.release()
-                        try:
-                            self._dispatch(key, batch)
-                        finally:
-                            self._cv.acquire()
-                        continue
-                    self._cv.wait(timeout=max(0.01, self._deadline[key] - now))
-                else:
-                    self._cv.wait(timeout=0.05)
+                self._cv.wait()
         if slot[1] is not None:
             raise slot[1]
         return slot[0]
 
+    # ---- dispatcher thread ----
+    def _pick_key(self) -> Optional[tuple]:
+        """Largest pending group; ties broken by oldest linger deadline."""
+        best = None
+        for key, group in self._pending.items():
+            c = (len(group), -self._deadline[key])
+            if best is None or c > best[0]:
+                best = (c, key)
+        return None if best is None else best[1]
+
+    def _loop(self) -> None:
+        try:
+            self._loop_inner()
+        finally:
+            # fail-safe: if this thread exits while submissions are pending
+            # (only possible via an unexpected error — _dispatch already
+            # scatters its own exceptions), waiters must not hang forever.
+            with self._cv:
+                for group in self._pending.values():
+                    for _, slot in group:
+                        if slot[0] is None and slot[1] is None:
+                            slot[1] = RuntimeError("batch dispatcher exited")
+                self._pending.clear()
+                self._cv.notify_all()
+
+    def _loop_inner(self) -> None:
+        while True:
+            with self._cv:
+                while True:
+                    key = self._pick_key()
+                    if key is None:
+                        if self._shutdown:
+                            return
+                        self._cv.wait()
+                        continue
+                    npend = len(self._pending[key])
+                    # every submitter is parked on its slot, so pending +
+                    # in-flight ≥ capacity means no further submission can
+                    # arrive until results flow — batch what's here now.
+                    parked = self._inflight + sum(len(g) for g in self._pending.values())
+                    now = time.monotonic()
+                    if (
+                        npend >= self._capacity()
+                        or parked >= self._capacity()
+                        or now >= self._deadline[key]
+                        or self._shutdown
+                    ):
+                        batch = self._pending.pop(key)
+                        self._deadline.pop(key, None)
+                        self._inflight += len(batch)
+                        break
+                    self._cv.wait(timeout=max(0.01, self._deadline[key] - now))
+            # device round trip with the lock RELEASED: a cold shard_map
+            # compile takes minutes (CLAUDE.md), and holding the lock would
+            # stall submissions, linger bookkeeping and image_finished().
+            # Arrivals during the flight accumulate into the next group.
+            self._dispatch(key, batch)
+
     def _dispatch(self, key, batch: List[list]) -> None:
         """Stack, pad to a multiple of the mesh size, run, scatter results.
 
-        Called with the condition lock RELEASED (the device round trip can
-        cold-compile for minutes); the batch list is private to the calling
-        leader, slot-item writes are GIL-atomic, and waiters re-check their
-        slots under the lock on every notify/timeout."""
+        Called from the dispatcher thread with the condition lock RELEASED;
+        the batch list is private to this thread and waiters re-check their
+        slots under the lock on notify."""
         import jax
         from .mesh import data_sharding
 
         arrs = [a for a, _ in batch]
         b = len(arrs)
         # pad to n_data × (rows-per-device bucketed to a power of two):
-        # group sizes jitter with rendezvous timing, and every distinct
-        # padded batch shape is a fresh program — minutes per compile on the
-        # remote TPU compiler — so bucketing bounds the program count per
+        # group sizes jitter with arrival timing, and every distinct padded
+        # batch shape is a fresh program — minutes per compile on the remote
+        # TPU compiler — so bucketing bounds the program count per
         # (shape, params) key at log2(max group) instead of max group.
         # Padded rows repeat the first image and are discarded after the
         # fetch, so results stay byte-identical.
@@ -177,14 +243,16 @@ class DeviceBatcher:
             dev = jax.device_put(np.stack(arrs), data_sharding(self.mesh))
             out = np.asarray(fn(dev))[:b]
         except Exception as ex:  # noqa: BLE001 — deliver to every waiter
-            for _, slot in batch:
-                slot[1] = ex
+            with self._cv:
+                for _, slot in batch:
+                    slot[1] = ex
+                self._inflight -= b
+                self._cv.notify_all()
         else:
-            for (_, slot), row in zip(batch, out):
-                slot[0] = row
-            ok = True
-        with self._cv:
-            if ok:
+            with self._cv:
+                for (_, slot), row in zip(batch, out):
+                    slot[0] = row
+                self._inflight -= b
                 self.n_dispatches += 1
                 self.n_batched_images += b
-            self._cv.notify_all()
+                self._cv.notify_all()
