@@ -54,7 +54,7 @@ def make_images(base: Path, n: int):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workers", type=int, nargs="+", default=[4, 8, 12])
+    ap.add_argument("--workers", type=int, nargs="+", default=[4])
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument(
         "--mesh", choices=["auto", "off"], default="auto",
