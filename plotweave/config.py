@@ -178,11 +178,12 @@ class PipelineConfig:
     # Stage 07 plans with at least this many contours route through the
     # on-device greedy planner (vector/planner_device.py) instead of the
     # host C++ loop — identical ordering (measured exact on the chip),
-    # faster above the ~n≈8000 crossover.  0 disables.  Engages only when
-    # the default backend is a real accelerator; cold-cache first use of a
+    # faster above the measured production-path crossover at n≈4500 (see
+    # CONFIG.md + BASELINE.md).  0 disables.  Engages only when the
+    # default backend is a real accelerator; cold-cache first use of a
     # size bucket pays a long remote compile (pre-warm:
     # tests/tools/warm_planner_cache.py).
-    planner_device_min_n: int = 8000
+    planner_device_min_n: int = 4500
 
     # ------------------------------------------------------------------
     def ensure_output_dirs(self) -> None:

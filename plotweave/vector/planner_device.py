@@ -27,7 +27,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-BUCKETS = (8192, 16384, 32768, 65536)
+BUCKETS = (4096, 8192, 16384, 32768, 65536)
 
 
 @lru_cache(maxsize=1)

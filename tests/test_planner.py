@@ -164,7 +164,7 @@ def test_device_planner_matches_host():
         assert host is not None, "native library must be available"
         assert dev[0] == host[0], (n, closed_aware)
         assert dev[1] == host[1], (n, closed_aware)
-    assert BUCKETS[0] >= 8192  # production buckets stay coarse
+    assert BUCKETS[0] >= 4096  # production buckets stay coarse
 
 
 def test_device_planner_via_sort_contours():
