@@ -89,18 +89,33 @@ def canny(img: jax.Array, low: int, high: int) -> jax.Array:
     strong = cand & (mag > high)
 
     # ---- hysteresis: grow strong through candidates to fixpoint ----
+    # Reachability grows one pixel per sweep along weak-edge chains, so the
+    # loop trip count is the longest chain (often hundreds).  Run it
+    # bit-packed (32 px per uint32 lane, same representation as the thinning
+    # fixpoint) so each sweep touches ~1/32 of the dense bool bytes — the
+    # fixpoint is identical, only the encoding changes.
+    from .thinning import (_nbr_bits, _shift_rows, pack_bitboards,  # noqa: PLC0415
+                           unpack_bitboards)
+
+    w = img.shape[-1]
+    candb = pack_bitboards(cand)
+    edgesb = pack_bitboards(strong)
+
+    def _dilate8(e):
+        row = e | _nbr_bits(e, 1) | _nbr_bits(e, -1)
+        return row | _shift_rows(row, 1) | _shift_rows(row, -1)
+
     def grow(state):
         edges, _ = state
-        nbr = edges
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy or dx:
-                    nbr = nbr | _nbr(edges, dy, dx, fill=False)
-        new = cand & nbr
+        new = candb & _dilate8(edges)
+        # a second sweep per loop step halves the cond-reduction count;
+        # sweeps past the fixpoint are no-ops (growth is monotone)
+        new = candb & _dilate8(new)
         return new, jnp.any(new != edges)
 
     def cond(state):
         return state[1]
 
-    edges, _ = jax.lax.while_loop(cond, lambda s: grow(s), (strong, jnp.array(True)))
-    return jnp.where(edges, jnp.uint8(255), jnp.uint8(0))
+    edgesb, _ = jax.lax.while_loop(cond, grow, (edgesb, jnp.array(True)))
+    edges = unpack_bitboards(edgesb, w)
+    return jnp.where(edges != 0, jnp.uint8(255), jnp.uint8(0))
