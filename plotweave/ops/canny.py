@@ -30,8 +30,10 @@ def _nbr(x: jax.Array, dy: int, dx: int, fill=0) -> jax.Array:
 
 
 def _sobel_pair(img: jax.Array):
-    """3×3 Sobel dx, dy with replicate border, int32; batched over leading dims."""
-    x = img.astype(jnp.int32)
+    """3×3 Sobel dx, dy with replicate border, int16 (|g| ≤ 4·255 = 1020, so
+    16 bits hold every value exactly — halves the HBM bytes of the gradient
+    and magnitude planes); batched over leading dims."""
+    x = img.astype(jnp.int16)
     h, w = img.shape[-2], img.shape[-1]
     pad = [(0, 0)] * (img.ndim - 2) + [(1, 1), (1, 1)]
     p = jnp.pad(x, pad, mode="edge")
@@ -53,6 +55,8 @@ def canny(img: jax.Array, low: int, high: int) -> jax.Array:
     whole batch (extra sweeps past a layer's convergence are no-ops)."""
     if low > high:
         low, high = high, low
+    # L1 magnitude ≤ 2040, so thresholds clamp into int16 range losslessly
+    low, high = min(low, 2041), min(high, 2041)
     gx, gy = _sobel_pair(img)
     mag = jnp.abs(gx) + jnp.abs(gy)
 
@@ -66,8 +70,9 @@ def canny(img: jax.Array, low: int, high: int) -> jax.Array:
     m_dl = _nbr(mag, 1, -1)
     m_dr = _nbr(mag, 1, 1)
 
-    ax = jnp.abs(gx)
-    ay = jnp.abs(gy) << _SHIFT
+    # the Q15 sector products need 32 bits; everything else stays int16
+    ax = jnp.abs(gx).astype(jnp.int32)
+    ay = jnp.abs(gy).astype(jnp.int32) << _SHIFT
     tg22x = ax * _TG22
     tg67x = tg22x + (ax << (_SHIFT + 1))
 

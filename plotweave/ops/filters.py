@@ -46,17 +46,18 @@ def gaussian_blur_u8(img: jax.Array, ksize: int, sigma: float = 0.0) -> jax.Arra
     """
     kq = gaussian_kernel_q8(ksize, sigma)
     r = ksize // 2
-    x = img.astype(jnp.int32)
     if r == 0:
         return img
     h, w = img.shape[-2], img.shape[-1]
     lead = [(0, 0)] * (img.ndim - 2)
-    p = jnp.pad(x, lead + [(0, 0), (r, r)], mode="reflect")
-    tmp = jnp.zeros_like(x)
+    # first pass accumulates in uint16 — taps sum to 256, so the row sum is
+    # ≤ 256·255 = 65280 and fits exactly; halves the inter-pass HBM bytes
+    p = jnp.pad(img.astype(jnp.uint16), lead + [(0, 0), (r, r)], mode="reflect")
+    tmp = jnp.zeros(img.shape, jnp.uint16)
     for i in range(ksize):  # static unroll; XLA fuses into one pass
         tmp = tmp + int(kq[i]) * p[..., :, i : i + w]
     p = jnp.pad(tmp, lead + [(r, r), (0, 0)], mode="reflect")
-    acc = jnp.zeros_like(x)
-    for i in range(ksize):
-        acc = acc + int(kq[i]) * p[..., i : i + h, :]
+    acc = jnp.zeros(img.shape, jnp.int32)
+    for i in range(ksize):  # widen at the multiply (≤ 256·65280 needs 32 bits)
+        acc = acc + int(kq[i]) * p[..., i : i + h, :].astype(jnp.int32)
     return jnp.clip((acc + (1 << 15)) >> 16, 0, 255).astype(jnp.uint8)
