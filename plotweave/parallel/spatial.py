@@ -170,6 +170,9 @@ def _canny_halo_b(img: jax.Array, low: int, high: int, reduce_axes=(AXIS,)) -> j
     (and, via ``reduce_axes``, over the whole mesh)."""
     if low > high:
         low, high = high, low
+    # _sobel_pair returns int16 (|g| ≤ 1020); mirror ops.canny exactly —
+    # magnitude/NMS stay 16-bit, the Q15 sector products widen to int32
+    low, high = min(low, 2041), min(high, 2041)
     x2 = _with_halo_b(img, 2, "edge")
     gx, gy = _sobel_pair(x2)
     mag = jnp.abs(gx) + jnp.abs(gy)
@@ -178,8 +181,8 @@ def _canny_halo_b(img: jax.Array, low: int, high: int, reduce_axes=(AXIS,)) -> j
     rows = jnp.arange(mag.shape[-2])[:, None]
     outside = ((i == 0) & (rows < 2)) | ((i == n - 1) & (rows >= mag.shape[-2] - 2))
     mag = jnp.where(outside, 0, mag)
-    ax = jnp.abs(gx)
-    ay = jnp.abs(gy) << _SHIFT
+    ax = jnp.abs(gx).astype(jnp.int32)
+    ay = jnp.abs(gy).astype(jnp.int32) << _SHIFT
     tg22x = ax * _TG22
     tg67x = tg22x + (ax << (_SHIFT + 1))
     horiz = ay < tg22x
