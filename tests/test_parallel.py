@@ -34,6 +34,26 @@ def test_spatial_sharding_bit_identical(eight_devices):
     assert (np.asarray(s_sp) == np.asarray(s_1)).all()
 
 
+def test_spatial_sharding_extreme_gradients_bit_identical(eight_devices):
+    """Checkerboard/stripe extremes drive the Sobel responses to their ±1020
+    ceiling and light up every NMS sector — pins the sharded twins'
+    dtype/overflow contract (the ops run int16 planes with int32 Q15
+    products; a missed widening in the halo twin corrupts ONLY the sharded
+    bytes, as happened with the round-4 int16 migration)."""
+    rng = np.random.default_rng(17)
+    yy, xx = np.mgrid[0:128, 0:96]
+    board = (((yy // 8) + (xx // 8)) % 2).astype(np.uint8) * 255  # 8-px blocks
+    img = np.repeat(board[..., None], 3, axis=2)
+    img[40:72] = rng.integers(0, 256, (32, 96, 3))
+    img[96:112] = np.where((np.arange(96) % 12 < 6)[None, :, None], 255, 0)
+    mesh = make_mesh((8,), ("space",), devices=eight_devices)
+    e_sp, s_sp = spatial_frontend(mesh, img, CENTERS, k=4)
+    e_1, s_1 = raster_frontend(img, CENTERS, k=4)
+    assert int((np.asarray(e_1) > 0).sum()) > 100  # non-degenerate content
+    assert (np.asarray(e_sp) == np.asarray(e_1)).all()
+    assert (np.asarray(s_sp) == np.asarray(s_1)).all()
+
+
 def test_batch_sharding_bit_identical(eight_devices):
     rng = np.random.default_rng(12)
     imgs = rng.integers(0, 256, (8, 64, 48, 3)).astype(np.uint8)
