@@ -62,8 +62,18 @@ PROBE_ATTEMPT_S = float(os.environ.get("PW_BENCH_PROBE_ATTEMPT_S", "120"))
 # "backend": "cpu-fallback" so it is never mistaken for a chip number.
 CPU_FALLBACK_S = float(os.environ.get("PW_BENCH_CPU_FALLBACK_S", "1800"))
 
+# A fallback is not the end of the story: the tunnel flaps minute-to-minute
+# (CLAUDE.md), so after the labeled CPU measurement completes the benchmark
+# keeps RE-PROBING the chip on a slow cadence for the remaining watchdog
+# budget (round 4 left ~35 min unused) and, if it recovers, runs the real
+# bench and emits the chip number as the primary record (the fallback value
+# rides along as a secondary field).
+REPROBE_INTERVAL_S = float(os.environ.get("PW_BENCH_REPROBE_S", "180"))
+REPROBE_MARGIN_S = float(os.environ.get("PW_BENCH_REPROBE_MARGIN_S", "300"))
+
 _BEST: dict = {}  # best completed result so far, emitted by the watchdog
-_FB_STATE: dict = {}  # CPU-fallback bookkeeping: "attempted", "deadline"
+_FB_STATE: dict = {}  # CPU-fallback bookkeeping: "attempted", "deadline", "result"
+_WD_STATE: dict = {}  # watchdog arm time: "deadline" (monotonic)
 _DONE = threading.Event()
 _EMIT_LOCK = threading.Lock()  # exactly-one-JSON-line: main vs watchdog race
 _HARD_EXIT = False  # set by main(): os._exit instead of SystemExit
@@ -94,9 +104,10 @@ def _start_watchdog(metric: str, fallback=None) -> None:
     if getattr(_start_watchdog, "armed", False):
         return
     _start_watchdog.armed = True
+    _WD_STATE["deadline"] = time.monotonic() + WATCHDOG_S
 
     def fire():
-        deadline = time.monotonic() + WATCHDOG_S
+        deadline = _WD_STATE["deadline"]
         while True:
             step = min(30.0, max(0.0, deadline - time.monotonic()))
             if _DONE.wait(step):
@@ -109,6 +120,11 @@ def _start_watchdog(metric: str, fallback=None) -> None:
         _log(f"watchdog: {WATCHDOG_S:.0f}s deadline hit")
         if _BEST.get("value") is not None:
             _emit(dict(_BEST), 0)
+        if _FB_STATE.get("result") is not None:
+            # a completed labeled CPU-fallback measurement (the main thread is
+            # likely mid-re-probe or mid-recovered-run): emit it rather than
+            # an error line
+            _emit(dict(_FB_STATE["result"]), 0)
         if fallback is not None and not _FB_STATE.get("attempted"):
             obj = fallback()
             if obj is not None:
@@ -207,6 +223,37 @@ def probe_chip(attempts: int = len(BACKOFF_S) + 1, hang_attempts: int = 2) -> fl
                 _log(f"probe: retrying in {delay:.0f}s")
                 time.sleep(delay)
     raise RuntimeError(f"chip probe failed after {attempts} attempts: {last!r}")
+
+
+def _reprobe_until_recovered(probe) -> bool:
+    """After a labeled CPU-fallback measurement, keep re-probing the chip on a
+    slow cadence for the remaining watchdog budget (the tunnel flaps
+    minute-to-minute — CLAUDE.md; round 4's driver run surrendered with ~35
+    min of budget unused).  True iff the chip recovered with at least
+    REPROBE_MARGIN_S left to run the real bench; False when the budget runs
+    out (callers then emit the stored fallback record)."""
+    wd_deadline = _WD_STATE.get("deadline") or (time.monotonic() + WATCHDOG_S)
+    deadline = wd_deadline - REPROBE_MARGIN_S
+    # attempt cap = budget/cadence: the loop ends on whichever of wall-clock
+    # or attempt budget runs out first (each attempt also spends the probe's
+    # own retry ladder, so the wall deadline usually binds in production)
+    max_attempts = max(1, int((deadline - time.monotonic()) / max(1.0, REPROBE_INTERVAL_S)) + 1)
+    n = 0
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0 or n >= max_attempts:
+            _log("re-probe: watchdog budget exhausted; keeping the CPU-fallback record")
+            return False
+        time.sleep(min(REPROBE_INTERVAL_S, remaining))
+        n += 1
+        try:
+            probe()
+            _log(f"re-probe: chip recovered on attempt {n}")
+            return True
+        except KeyboardInterrupt:
+            raise
+        except BaseException as e:  # noqa: BLE001 — any failure = still down
+            _log(f"re-probe attempt {n}: still unreachable: {type(e).__name__}: {e}")
 
 
 def _extract_metric(stdout: str, metric: str):
@@ -366,8 +413,17 @@ def bench_e2e(device_init: bool = False, runner_factory=None, probe=probe_chip,
         if cpu_fallback:
             obj = _cpu_fallback(metric, f"device probe failed: {e}")
             if obj is not None:
-                _emit(obj, 0)
-        _emit({"metric": metric, "error": f"device probe failed: {e}"}, 1)
+                _FB_STATE["result"] = dict(obj)
+            # the fallback record is banked — now spend the remaining watchdog
+            # budget re-probing for a recovered tunnel; only a recovery falls
+            # through to the real chip measurement below
+            if not _reprobe_until_recovered(probe):
+                if obj is not None:
+                    _emit(obj, 0)
+                _emit({"metric": metric, "error": f"device probe failed: {e}"}, 1)
+            _log("re-probe: chip recovered — measuring the real e2e bench")
+        else:
+            _emit({"metric": metric, "error": f"device probe failed: {e}"}, 1)
 
     if runner_factory is not None:  # test seam: factories take device_init only
         runner, cleanup, mpx = runner_factory(device_init)
@@ -377,11 +433,20 @@ def bench_e2e(device_init: bool = False, runner_factory=None, probe=probe_chip,
         # warmup fills the persistent compile cache; its wall time also serves
         # as the best-completed-run fallback if both timed runs then fail
         warm, err = _retrying("warmup", lambda: runner("warmup"))
-        if warm is None:
-            if cpu_fallback:
+        if warm is None and cpu_fallback:
+            # the chip answered the probe but flapped mid-run: bank a labeled
+            # host measurement, then re-probe for a recovery and retry once
+            if _FB_STATE.get("result") is None:
                 obj = _cpu_fallback(metric, f"warmup never completed: {err}")
                 if obj is not None:
-                    _emit(obj, 0)
+                    _FB_STATE["result"] = dict(obj)
+            if _reprobe_until_recovered(probe):
+                _log("re-probe: chip recovered — retrying the warmup")
+                warm, err = _retrying("warmup-recovered", lambda: runner("warmup"))
+        if warm is None:
+            obj = _FB_STATE.get("result")
+            if obj is not None:
+                _emit(dict(obj), 0)
             _emit({"metric": metric, "error": f"warmup never completed: {err}"}, 1)
         record_best(warm)
 
@@ -408,6 +473,11 @@ def bench_e2e(device_init: bool = False, runner_factory=None, probe=probe_chip,
     }
     if raster_device == "cpu":
         obj["backend"] = "cpu"
+    elif _FB_STATE.get("result") is not None:
+        # chip recovered after an initial CPU fallback: the chip number is the
+        # primary record; the labeled fallback value rides along as secondary
+        obj["fallback_value"] = _FB_STATE["result"].get("value")
+        obj["note"] = "chip recovered after an initial cpu-fallback measurement"
     _emit(obj, 0)
 
 

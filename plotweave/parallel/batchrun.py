@@ -103,6 +103,7 @@ class DeviceBatcher:
         self._deadline: Dict[tuple, float] = {}
         self._linger = float(linger_s)
         self._inflight = 0          # submissions popped but not yet delivered
+        self._current: Optional[List[list]] = None  # batch owned by _dispatch
         self._shutdown = False
         self._thread: Optional[threading.Thread] = None
         self.n_dispatches = 0
@@ -158,10 +159,14 @@ class DeviceBatcher:
 
     # ---- dispatcher thread ----
     def _pick_key(self) -> Optional[tuple]:
-        """Largest pending group; ties broken by oldest linger deadline."""
+        """Expired-linger groups first (largest of those), else the largest
+        pending group; ties broken by oldest linger deadline.  Preferring
+        expired keys keeps a small group whose window has passed from being
+        parked behind a larger still-lingering one."""
+        now = time.monotonic()
         best = None
         for key, group in self._pending.items():
-            c = (len(group), -self._deadline[key])
+            c = (now >= self._deadline[key], len(group), -self._deadline[key])
             if best is None or c > best[0]:
                 best = (c, key)
         return None if best is None else best[1]
@@ -170,15 +175,22 @@ class DeviceBatcher:
         try:
             self._loop_inner()
         finally:
-            # fail-safe: if this thread exits while submissions are pending
-            # (only possible via an unexpected error — _dispatch already
-            # scatters its own exceptions), waiters must not hang forever.
+            # fail-safe: if this thread exits while submissions are pending or
+            # in flight (only possible via an unexpected error — _dispatch
+            # scatters its own exceptions), waiters must not hang forever, and
+            # later run_chain calls must raise instead of parking behind a
+            # dead thread.
             with self._cv:
-                for group in self._pending.values():
+                self._shutdown = True
+                groups = list(self._pending.values())
+                groups.append(self._current or [])
+                for group in groups:
                     for _, slot in group:
                         if slot[0] is None and slot[1] is None:
                             slot[1] = RuntimeError("batch dispatcher exited")
                 self._pending.clear()
+                self._current = None
+                self._inflight = 0
                 self._cv.notify_all()
 
     def _loop_inner(self) -> None:
@@ -206,8 +218,13 @@ class DeviceBatcher:
                         batch = self._pending.pop(key)
                         self._deadline.pop(key, None)
                         self._inflight += len(batch)
+                        self._current = batch
                         break
-                    self._cv.wait(timeout=max(0.01, self._deadline[key] - now))
+                    # time the wait against the EARLIEST deadline across all
+                    # pending keys — a small group whose linger has expired
+                    # must not be held for the largest group's full window
+                    soonest = min(self._deadline.values())
+                    self._cv.wait(timeout=max(0.01, soonest - now))
             # device round trip with the lock RELEASED: a cold shard_map
             # compile takes minutes (CLAUDE.md), and holding the lock would
             # stall submissions, linger bookkeeping and image_finished().
@@ -223,22 +240,21 @@ class DeviceBatcher:
         import jax
         from .mesh import data_sharding
 
-        arrs = [a for a, _ in batch]
-        b = len(arrs)
-        # pad to n_data × (rows-per-device bucketed to a power of two):
-        # group sizes jitter with arrival timing, and every distinct padded
-        # batch shape is a fresh program — minutes per compile on the remote
-        # TPU compiler — so bucketing bounds the program count per
-        # (shape, params) key at log2(max group) instead of max group.
-        # Padded rows repeat the first image and are discarded after the
-        # fetch, so results stay byte-identical.
-        rows = -(-b // self.n_data)
-        rb = 1
-        while rb < rows:
-            rb *= 2
-        arrs = arrs + [arrs[0]] * (rb * self.n_data - b)
-        ok = False
+        b = len(batch)
         try:
+            arrs = [a for a, _ in batch]
+            # pad to n_data × (rows-per-device bucketed to a power of two):
+            # group sizes jitter with arrival timing, and every distinct padded
+            # batch shape is a fresh program — minutes per compile on the
+            # remote TPU compiler — so bucketing bounds the program count per
+            # (shape, params) key at log2(max group) instead of max group.
+            # Padded rows repeat the first image and are discarded after the
+            # fetch, so results stay byte-identical.
+            rows = -(-b // self.n_data)
+            rb = 1
+            while rb < rows:
+                rb *= 2
+            arrs = arrs + [arrs[0]] * (rb * self.n_data - b)
             fn = _compiled_chain(self.mesh, key[1], key[2])
             dev = jax.device_put(np.stack(arrs), data_sharding(self.mesh))
             out = np.asarray(fn(dev))[:b]
@@ -247,12 +263,14 @@ class DeviceBatcher:
                 for _, slot in batch:
                     slot[1] = ex
                 self._inflight -= b
+                self._current = None
                 self._cv.notify_all()
         else:
             with self._cv:
                 for (_, slot), row in zip(batch, out):
                     slot[0] = row
                 self._inflight -= b
+                self._current = None
                 self.n_dispatches += 1
                 self.n_batched_images += b
                 self._cv.notify_all()

@@ -58,6 +58,33 @@ def chain_hint() -> frozenset:
     return getattr(_CHAIN, "steps", frozenset())
 
 
+# Optional per-stage wall-clock collector: sums stage seconds across ALL
+# images/threads of a run (the batch runner's steady-state profile — round-4
+# verdict: "config 4's binder is unmeasured").  Install with stage_clock();
+# costs one dict lookup per stage when uninstalled.
+_STAGE_CLOCK: dict | None = None
+_STAGE_CLOCK_LOCK = _threading.Lock()
+
+import contextlib as _contextlib  # noqa: E402
+
+
+@_contextlib.contextmanager
+def stage_clock():
+    """Collect {stage_module: summed_wall_seconds} for every stage executed
+    (by any thread) inside the context."""
+    global _STAGE_CLOCK
+    d: dict = {}
+    with _STAGE_CLOCK_LOCK:
+        if _STAGE_CLOCK is not None:
+            raise RuntimeError("a stage_clock is already installed")
+        _STAGE_CLOCK = d
+    try:
+        yield d
+    finally:
+        with _STAGE_CLOCK_LOCK:
+            _STAGE_CLOCK = None
+
+
 def missing_for_step(step_idx: int, outdir: str, color_names: List[str]) -> List[str]:
     """Expected-but-missing artifacts when starting at ``step_idx`` (1-based);
     prerequisite table per reference pipeline.py:114-145."""
@@ -123,9 +150,27 @@ def run_pipeline(
                 traceback.print_exc()
                 print(f"Error in step {i + 1} ({module})", file=sys.stderr)
                 sys.exit(1)
-            print(f"[{i + 1}/{MAX_STEP}] done in {time.perf_counter() - t0:.2f}s", flush=True)
+            dt = time.perf_counter() - t0
+            if _STAGE_CLOCK is not None:
+                with _STAGE_CLOCK_LOCK:
+                    if _STAGE_CLOCK is not None:
+                        _STAGE_CLOCK[module] = _STAGE_CLOCK.get(module, 0.0) + dt
+            print(f"[{i + 1}/{MAX_STEP}] done in {dt:.2f}s", flush=True)
     finally:
         _CHAIN.steps = frozenset()
+        # write-behind barrier: every async artifact dump must be durably on
+        # disk before the pipeline returns (resume / --end-step contract)
+        from .utils.io import flush_pending_saves  # noqa: PLC0415
+
+        in_flight = sys.exc_info()[0] is not None
+        try:
+            flush_pending_saves()
+        except Exception:
+            if not in_flight:
+                raise
+            import traceback  # noqa: PLC0415
+
+            traceback.print_exc()
 
 
 def run_pipeline_batch(
@@ -209,11 +254,36 @@ def run_pipeline_batch(
     return times
 
 
+def load_preset(name: str) -> dict:
+    """Config overrides for a named preset (plotweave/presets/<name>.json)
+    or an explicit JSON path."""
+    path = name
+    if not os.path.isfile(path):
+        path = os.path.join(os.path.dirname(__file__), "presets", f"{name}.json")
+    if not os.path.isfile(path):
+        avail = sorted(
+            os.path.splitext(f)[0]
+            for f in os.listdir(os.path.join(os.path.dirname(__file__), "presets"))
+            if f.endswith(".json")
+        )
+        raise SystemExit(f"unknown preset {name!r}; available: {', '.join(avail)}")
+    with open(path, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
 def parse_args(argv=None):
     ap = argparse.ArgumentParser(prog="plotweave", description="Raster → plotter-stream pipeline (TPU-native)")
     ap.add_argument("input_image", nargs="?", help="Input raster image")
     ap.add_argument("--output", dest="output_dir", help="Output directory")
     ap.add_argument("--config", dest="config_path", help="Existing config.json to load")
+    ap.add_argument(
+        "--preset",
+        help="named config preset merged under the CLI flags (a JSON in "
+        "plotweave/presets/, or a path to one).  'quality' enables the "
+        "2-opt⊕or-opt tour refinement with the on-device refiner — shorter "
+        "travel than the reference's greedy-only ordering "
+        "(12_optimize_plot_order.py:111-161) at extra stage-12 cost",
+    )
     ap.add_argument("--start-step", type=int, default=1, help=f"1..{MAX_STEP}")
     ap.add_argument("--end-step", type=int, default=MAX_STEP, help=f"1..{MAX_STEP}")
     ap.add_argument("--pixels-per-mm", type=int, dest="pixels_per_mm")
@@ -330,6 +400,11 @@ def main(argv=None) -> None:
             overrides["colors"] = json.loads(args.colors_json)
         except json.JSONDecodeError as e:
             print(f"Failed to parse --colors JSON: {e}", file=sys.stderr)
+
+    if args.preset:
+        for k, v in load_preset(args.preset).items():
+            if overrides.get(k) is None:  # explicit CLI flags win
+                overrides[k] = v
 
     if args.batch_dir:
         overrides.pop("input_image", None)

@@ -65,6 +65,15 @@ def run(cfg: PipelineConfig) -> None:
 
     min_len = int(cfg.thinning_min_segment_len)
 
+    # inside a pipeline chain the ~60 MB contours.pkl dumps go write-behind
+    # (the dominant cost of this stage — bench_s04_split); run_pipeline's
+    # finally flushes them before any resume boundary.  Standalone stage
+    # invocations (tests, --start-step debugging) keep synchronous writes.
+    from ..pipeline import chain_hint  # noqa: PLC0415
+    from ..utils.io import save_pickle_async  # noqa: PLC0415
+
+    save = save_pickle_async if chain_hint() else save_pickle
+
     # layers are independent — trace them concurrently (the native walker,
     # cv2 labeling and pickle writes all release the GIL); output identical
     def trace_one(args):
@@ -73,7 +82,7 @@ def run(cfg: PipelineConfig) -> None:
         paths = trace_skeleton_fast(skel)  # 0/1 uint8: tracers accept any nonzero
         paths = [p for p in paths if len(p) >= min_len]
         out = os.path.join(layer_dir(cfg, name), "contours.pkl")
-        save_pickle(paths, out)
+        save(paths, out)
         return f"[{name}] traced {len(paths)} polylines in {time.perf_counter() - t1:.2f}s → {out}"
 
     for line in thread_map(trace_one, list(zip(names, skeletons))):

@@ -50,6 +50,10 @@ class _FirstByteGuard:
 
 
 def save_pickle(obj: Any, path: str) -> None:
+    _save_pickle_sync(obj, path)
+
+
+def _save_pickle_sync(obj: Any, path: str, fsync: bool = False) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # overwrite in place ("r+b") instead of truncating: O_TRUNC frees the
     # file's tmpfs pages, so a re-run into the same output dir re-pays page
@@ -80,6 +84,9 @@ def save_pickle(obj: Any, path: str) -> None:
         pickle.dump(obj, guard, protocol=5)
         f.truncate()
         guard.finish()
+        if fsync:  # write-behind path: durable before the flush barrier returns
+            f.flush()
+            os.fsync(f.fileno())
     # the file on disk stays the source of truth; the registry only skips
     # the redundant re-read while the signature matches.  Consumers must
     # treat loaded artifacts as immutable (they already do — every stage
@@ -154,6 +161,8 @@ _PICKLE_HANDOFF_CAP = 64
 _PICKLE_HANDOFF_BYTE_CAP = 512 * 1024 * 1024
 _PICKLE_HANDOFF_BYTES = [0]
 _HANDOFF_MISS = object()
+# signature marker for write-behind entries whose disk bytes are still queued
+_PENDING_SIG = ("__pw_pending__",)
 
 
 def _approx_nbytes(obj, _depth: int = 3) -> int:
@@ -180,16 +189,27 @@ def _register_pickle_handoff(path: str, obj) -> None:
     key = os.path.abspath(path)
     nb = _approx_nbytes(obj)
     with _DEVICE_HANDOFF_LOCK:
+        old = _PICKLE_HANDOFF.get(key)
+        if old is not None and old[0] is _PENDING_SIG and old[1] is not obj:
+            # a newer write-behind save owns this path; the older dump (this
+            # call, from the writer thread) must not clobber its registration
+            return
         old = _PICKLE_HANDOFF.pop(key, None)
         if old is not None:
             _PICKLE_HANDOFF_BYTES[0] -= old[2]
         _PICKLE_HANDOFF[key] = (sig, obj, nb)
         _PICKLE_HANDOFF_BYTES[0] += nb
-        while _PICKLE_HANDOFF and (
-            len(_PICKLE_HANDOFF) > _PICKLE_HANDOFF_CAP
-            or _PICKLE_HANDOFF_BYTES[0] > _PICKLE_HANDOFF_BYTE_CAP
-        ):
-            _, (_, _, enb) = _PICKLE_HANDOFF.popitem(last=False)
+        # evict oldest NON-PENDING entries: a pending entry's file bytes are
+        # not on disk yet, so evicting it would send a consumer to a stale /
+        # missing file — it becomes evictable once the writer re-registers it
+        evictable = [k for k, v in _PICKLE_HANDOFF.items() if v[0] is not _PENDING_SIG]
+        for k in evictable:
+            if (
+                len(_PICKLE_HANDOFF) <= _PICKLE_HANDOFF_CAP
+                and _PICKLE_HANDOFF_BYTES[0] <= _PICKLE_HANDOFF_BYTE_CAP
+            ):
+                break
+            _, _, enb = _PICKLE_HANDOFF.pop(k)
             _PICKLE_HANDOFF_BYTES[0] -= enb
 
 
@@ -199,6 +219,10 @@ def _fetch_pickle_handoff(path: str):
         ent = _PICKLE_HANDOFF.get(key)
     if ent is None:
         return _HANDOFF_MISS
+    if ent[0] is _PENDING_SIG:
+        # write-behind entry: the dump is queued/in-flight, so the live
+        # object IS the file's future contents — fresh by construction
+        return ent[1]
     try:
         fresh = _stat_sig(path) == ent[0]
     except OSError:
@@ -212,6 +236,116 @@ def _fetch_pickle_handoff(path: str):
         if key in _PICKLE_HANDOFF:
             _PICKLE_HANDOFF.move_to_end(key)
     return ent[1]
+
+
+# ---------------------------------------------------------------- write-behind
+#
+# The vector stages' artifact contract costs more than their algorithms on
+# this host (bench_s04_split: stage 04's trace is 0.27 s; the ~60 MB
+# layer_light contours.pkl dump is most of the rest).  When a stage runs
+# inside a pipeline chain, the dump can happen on a background writer thread
+# while the pipeline proceeds — the in-process consumer gets the LIVE object
+# from the handoff registry immediately (marked pending until the bytes are
+# on disk), and run_pipeline flushes every queued write before returning, so
+# the on-disk resume/oracle contract is untouched.  Crash consistency is the
+# same _FirstByteGuard story as the synchronous path: an interrupted dump
+# leaves a file pickle.load rejects at byte 0.
+# Reference contract being kept: 04_find_contours.py:224-229 (contours.pkl
+# on disk before the next step starts — here, before run_pipeline returns).
+
+
+class _AsyncPickleWriter:
+    """Single background writer (FIFO); one per process, started lazily."""
+
+    def __init__(self):
+        import queue  # noqa: PLC0415
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = None
+        self._lock = threading.Lock()
+        self._errors: list = []
+
+    def _ensure_thread(self) -> None:
+        with self._lock:
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(
+                    target=self._loop, name="pw-pickle-writer", daemon=True
+                )
+                self._thread.start()
+
+    def _loop(self) -> None:
+        while True:
+            obj, path = self._q.get()
+            try:
+                # superseded by a newer write-behind save to the same path?
+                # skip — dumping the older object would transiently restore a
+                # VALID-but-stale file over the newer save's invalid marker
+                key = os.path.abspath(path)
+                with _DEVICE_HANDOFF_LOCK:
+                    ent = _PICKLE_HANDOFF.get(key)
+                    superseded = (
+                        ent is not None and ent[0] is _PENDING_SIG and ent[1] is not obj
+                    )
+                if not superseded:
+                    _save_pickle_sync(obj, path, fsync=True)
+            except BaseException as e:  # noqa: BLE001 — re-raised at flush
+                self._errors.append((path, e))
+            finally:
+                self._q.task_done()
+
+    def submit(self, obj: Any, path: str) -> None:
+        self._ensure_thread()
+        self._q.put((obj, path))
+
+    def flush(self) -> None:
+        """Block until every queued dump is durably on disk; re-raise the
+        first writer error (a silent lost artifact would corrupt resume)."""
+        if self._thread is None:
+            return
+        self._q.join()
+        if self._errors:
+            path, e = self._errors.pop(0)
+            self._errors.clear()
+            raise RuntimeError(f"write-behind save of {path} failed: {e}") from e
+
+
+_ASYNC_WRITER = _AsyncPickleWriter()
+
+
+def save_pickle_async(obj: Any, path: str) -> None:
+    """Write-behind :func:`save_pickle`: registers the live object for
+    in-process handoff NOW (pending signature) and dumps the bytes on the
+    background writer.  Callers inside run_pipeline rely on its finally
+    calling :func:`flush_pending_saves` before any resume/--end-step
+    boundary; standalone callers must flush themselves."""
+    # The artifact path must EXIST the moment this returns: downstream stages
+    # gate on os.path.exists before consulting the registry (s05/s07/s08
+    # skip-if-missing semantics), so a not-yet-dumped file would silently
+    # drop layers.  Make it exist AND loudly invalid (first byte \x00, the
+    # _FirstByteGuard convention) until the writer's dump completes — a crash
+    # before then fails pickle.load at byte 0 instead of resuming from a
+    # stale previous artifact.
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "r+b" if os.path.isfile(path) else "wb") as f:
+        f.write(b"\x00")
+    key = os.path.abspath(path)
+    nb = _approx_nbytes(obj)
+    with _DEVICE_HANDOFF_LOCK:
+        old = _PICKLE_HANDOFF.pop(key, None)
+        if old is not None:
+            _PICKLE_HANDOFF_BYTES[0] -= old[2]
+        _PICKLE_HANDOFF[key] = (_PENDING_SIG, obj, nb)
+        _PICKLE_HANDOFF_BYTES[0] += nb
+        # NOTE: no byte-budget eviction of a pending entry — it must stay
+        # fetchable until its bytes are on disk (the writer re-registers
+        # with the real stat signature on completion)
+    _ASYNC_WRITER.submit(obj, path)
+
+
+def flush_pending_saves() -> None:
+    """Barrier: every save_pickle_async dump is on disk (fsynced) or an
+    error is raised.  run_pipeline calls this before returning."""
+    _ASYNC_WRITER.flush()
 
 
 def register_device_artifact(path: str, arr) -> None:

@@ -27,7 +27,12 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+# The 4096 bucket is unreachable under the DEFAULT gate (config.py
+# planner_device_min_n=4500 → the smallest eligible plan pads to 8192); it
+# exists only for user-lowered gates (planner_device_min_n ≤ 4096) and is
+# therefore excluded from warm_planner_cache.py's default bucket list.
 BUCKETS = (4096, 8192, 16384, 32768, 65536)
+DEFAULT_WARM_BUCKETS = (8192, 16384, 32768, 65536)
 
 
 @lru_cache(maxsize=1)

@@ -38,6 +38,7 @@ def _fresh_watchdog_state():
     bench._DONE = threading.Event()
     bench._BEST.clear()
     bench._FB_STATE.clear()
+    bench._WD_STATE.clear()
     bench._start_watchdog.armed = False
     yield
     bench._DONE.set()  # release any armed watchdog thread promptly
@@ -201,6 +202,104 @@ def test_probe_failure_routes_to_cpu_fallback(capsys, monkeypatch):
     assert obj["backend"] == "cpu-fallback"
     assert obj["value"] == 0.5
     assert fb_calls and "probe failed" in fb_calls[0]
+
+
+def test_reprobe_recovery_after_probe_failure_emits_chip_number(capsys, monkeypatch):
+    """Round-4 verdict #1: after the labeled CPU fallback, the benchmark must
+    keep re-probing; when the tunnel recovers, the REAL chip bench runs and
+    its number is the primary record (the fallback value kept as secondary)."""
+    fb_calls = []
+
+    def fake_fallback(metric, reason):
+        fb_calls.append(reason)
+        return {"metric": metric, "value": 0.5, "unit": "Mpx/s",
+                "vs_baseline": 119.05, "backend": "cpu-fallback", "note": reason}
+
+    monkeypatch.setattr(bench, "_cpu_fallback", fake_fallback)
+
+    probes = {"n": 0}
+
+    def probe():
+        probes["n"] += 1
+        if probes["n"] < 4:  # initial failure + 2 failed re-probes, then recovery
+            raise _FakeFailedPrecondition("no route to chip")
+        return 0.01
+
+    def factory(device_init):
+        return (lambda tag: 1.0), lambda: None, 0.786432
+
+    with pytest.raises(SystemExit) as ei:
+        bench.bench_e2e(runner_factory=factory, probe=probe, cpu_fallback=True)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    obj = json.loads(out[0])
+    assert ei.value.code == 0
+    assert obj.get("backend") is None, "primary record must be the chip number"
+    assert obj["value"] == pytest.approx(0.7864, abs=1e-3)
+    assert obj["fallback_value"] == 0.5
+    assert "recovered" in obj["note"]
+    assert fb_calls and probes["n"] >= 4
+
+
+def test_reprobe_recovery_after_warmup_failure_retries_warmup(capsys, monkeypatch):
+    """Probe OK but the chip flaps mid-warmup and exhausts the retry ladder:
+    bank the labeled fallback, re-probe, and when the chip recovers retry the
+    warmup and emit the chip number."""
+    monkeypatch.setattr(
+        bench, "_cpu_fallback",
+        lambda metric, reason: {"metric": metric, "value": 0.4, "unit": "Mpx/s",
+                                "vs_baseline": 95.24, "backend": "cpu-fallback",
+                                "note": reason},
+    )
+    calls = {"n": 0}
+
+    def runner(tag):
+        calls["n"] += 1
+        if calls["n"] <= 5:  # the full warmup retry ladder fails
+            raise _FakeFailedPrecondition("tunnel flap")
+        return 2.0
+
+    def factory(device_init):
+        return runner, lambda: None, 0.786432
+
+    with pytest.raises(SystemExit) as ei:
+        bench.bench_e2e(runner_factory=factory, probe=lambda: 0.01, cpu_fallback=True)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    obj = json.loads(out[0])
+    assert ei.value.code == 0
+    assert obj.get("backend") is None
+    assert obj["value"] == pytest.approx(0.786432 / 2.0, abs=1e-3)
+    assert obj["fallback_value"] == 0.4
+    assert calls["n"] > 5, "warmup must have been retried after recovery"
+
+
+def test_reprobe_budget_exhausted_keeps_fallback_record(capsys, monkeypatch):
+    """Tunnel never recovers: the re-probe loop must terminate within its
+    attempt budget and the labeled fallback record must be emitted."""
+    monkeypatch.setattr(
+        bench, "_cpu_fallback",
+        lambda metric, reason: {"metric": metric, "value": 0.5, "unit": "Mpx/s",
+                                "vs_baseline": 119.05, "backend": "cpu-fallback",
+                                "note": reason},
+    )
+    probes = {"n": 0}
+
+    def probe():
+        probes["n"] += 1
+        raise _FakeFailedPrecondition("still dead")
+
+    def factory(device_init):
+        return (lambda tag: 1.0), lambda: None, 0.786432
+
+    with pytest.raises(SystemExit) as ei:
+        bench.bench_e2e(runner_factory=factory, probe=probe, cpu_fallback=True)
+    obj = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert ei.value.code == 0
+    assert obj["backend"] == "cpu-fallback"
+    # re-probes happened (initial probe + at least one re-probe) and the
+    # attempt cap bounded them at ~budget/cadence
+    assert 2 <= probes["n"] <= 2 + bench.WATCHDOG_S / bench.REPROBE_INTERVAL_S + 2
 
 
 def test_cpu_fallback_failure_still_emits_error_json(capsys, monkeypatch):

@@ -258,3 +258,85 @@ def test_approx_nbytes_recurses_nested_artifacts():
     assert _approx_nbytes({"layers": [{"points": a}]}) == 1000
     # depth cap: don't scan unboundedly deep structures
     assert _approx_nbytes([[[[a]]]]) == 0
+
+
+def test_save_pickle_async_write_behind(tmp_path):
+    """Write-behind contract: the live object is fetchable immediately
+    (pending entry), flush_pending_saves() puts durable bytes on disk, and
+    the registry entry survives with a real stat signature afterwards."""
+    import pickle
+
+    from plotweave.utils.io import (
+        _PENDING_SIG, _PICKLE_HANDOFF, flush_pending_saves, load_pickle,
+        save_pickle_async,
+    )
+
+    p = tmp_path / "wb.pkl"
+    obj = {"v": np.arange(4096)}
+    save_pickle_async(obj, str(p))
+    # the live object is served even before the bytes land
+    assert load_pickle(str(p)) is obj
+    flush_pending_saves()
+    assert pickle.loads(p.read_bytes())["v"].sum() == obj["v"].sum()
+    # the pending entry was re-registered with the file's real signature
+    ent = _PICKLE_HANDOFF.get(str(p))
+    assert ent is not None and ent[0] is not _PENDING_SIG
+    # a fresh-process-style read (registry cleared) sees the same bytes
+    _PICKLE_HANDOFF.clear()
+    assert load_pickle(str(p))["v"].tolist() == obj["v"].tolist()
+
+
+def test_save_pickle_async_latest_writer_wins(tmp_path):
+    """Two write-behind saves to one path: the SECOND object owns the
+    registration; after flush the disk holds the second dump."""
+    import pickle
+
+    from plotweave.utils.io import flush_pending_saves, load_pickle, save_pickle_async
+
+    p = tmp_path / "wb2.pkl"
+    first = {"v": np.arange(10)}
+    second = {"v": np.arange(20)}
+    save_pickle_async(first, str(p))
+    save_pickle_async(second, str(p))
+    assert load_pickle(str(p)) is second
+    flush_pending_saves()
+    assert len(pickle.loads(p.read_bytes())["v"]) == 20
+    assert load_pickle(str(p)) is second  # registration not clobbered
+
+
+def test_save_pickle_async_flush_raises_on_write_error(tmp_path):
+    """A failed background dump must surface at the flush barrier — a
+    silently lost artifact would corrupt --start-step resume."""
+    import pytest
+
+    from plotweave.utils.io import flush_pending_saves, save_pickle_async
+
+    target = tmp_path / "x.pkl"
+    # an unpicklable payload makes the background dump itself fail (a
+    # filesystem error would too, but root ignores permission bits)
+    save_pickle_async({"v": open(os.devnull)}, str(target))
+    with pytest.raises(RuntimeError, match="write-behind save"):
+        flush_pending_saves()
+    flush_pending_saves()  # error queue drained; next flush is clean
+
+
+def test_pending_entries_never_evicted(tmp_path):
+    """Byte-budget eviction must skip pending entries: their file bytes are
+    not on disk yet, so eviction would strand consumers on a missing file."""
+    from plotweave.utils import io as pio
+
+    pio._PICKLE_HANDOFF.clear()
+    pio._PICKLE_HANDOFF_BYTES[0] = 0
+    pending = {"v": np.zeros(1 << 20, np.uint8)}  # 1 MB
+    p_pending = tmp_path / "pending.pkl"
+    pio.save_pickle_async(pending, str(p_pending))
+    # now slam the budget with synchronous saves; the pending entry survives
+    old_cap = pio._PICKLE_HANDOFF_BYTE_CAP
+    pio._PICKLE_HANDOFF_BYTE_CAP = 2 << 20
+    try:
+        for i in range(4):
+            pio.save_pickle({"v": np.zeros(1 << 20, np.uint8)}, str(tmp_path / f"s{i}.pkl"))
+        assert pio.load_pickle(str(p_pending)) is pending
+    finally:
+        pio._PICKLE_HANDOFF_BYTE_CAP = old_cap
+        pio.flush_pending_saves()

@@ -52,6 +52,30 @@ def make_images(base: Path, n: int):
     return paths
 
 
+def build_cfgs(paths, out: Path):
+    from plotweave.config import load_config, PipelineConfig, save_config
+
+    out.mkdir(parents=True)
+    cfgs = []
+    for p in paths:
+        d = out / p.stem
+        d.mkdir()
+        cfg = PipelineConfig()
+        f = save_config(cfg, str(d / "config.json"), {
+            "input_image": str(p), "output_dir": str(d),
+            "color_names": NAMES, "colors": [list(c) for c in COLORS],
+            # bench-class canvas (matches bench.py's e2e config): the
+            # default A4@40steps/mm canvas is ~100 Mpx and preview
+            # rendering/PNG encode dominates either implementation
+            "target_width_mm": 210, "target_height_mm": 297,
+            "pixels_per_mm": 4, "pen_width_px": 12, "pen_radius_px": 6,
+            "edge_low_threshold": 22, "edge_high_threshold": 70,
+            "edge_kernel_size": 7,
+        })
+        cfgs.append(load_config(f))
+    return cfgs
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workers", type=int, nargs="+", default=[4])
@@ -61,36 +85,68 @@ def main() -> None:
         help="auto = dispatch rendezvous on (single-chip batching); "
         "off = per-image dispatches (the pre-r4 behavior, for A/B)",
     )
+    ap.add_argument(
+        "--ab", type=int, default=0, metavar="K",
+        help="interleaved A/B: K alternating (batch, sequential) runs in the "
+        "same phase; report per-side medians + per-stage steady-state sums "
+        "(the ab.py convention — round-4 verdict #2/#3)",
+    )
     args = ap.parse_args()
 
-    from plotweave.config import load_config, PipelineConfig, save_config
-    from plotweave.pipeline import run_pipeline_batch
+    from plotweave.pipeline import run_pipeline, run_pipeline_batch, stage_clock
 
     base = Path(tempfile.mkdtemp(prefix="pw_batch_"))
     paths = make_images(base, args.n)
     mpx = args.n * 1024 * 768 / 1e6
 
+    if args.ab:
+        from ab import ab_capture
+
+        w = args.workers[0]
+        runs = {"n": 0}
+        stage_sums = {"batch": {}, "seq": {}}
+
+        def one_side(label: str) -> float:
+            runs["n"] += 1
+            out = base / f"run{runs['n']:02d}_{label}"
+            cfgs = build_cfgs(paths, out)
+            with stage_clock() as clk:
+                t0 = time.perf_counter()
+                if label == "batch":
+                    times = run_pipeline_batch(cfgs, 1, 13, workers=w, mesh_dp=None)
+                    ok = sum(1 for t in times if t >= 0)
+                else:  # sequential: one image at a time (the reference shape)
+                    ok = 0
+                    for c in cfgs:
+                        run_pipeline(c, 1, 13)
+                        ok += 1
+                wall = time.perf_counter() - t0
+            assert ok == args.n, f"{label}: only {ok}/{args.n} images ok"
+            for k, v in clk.items():
+                stage_sums[label][k] = stage_sums[label].get(k, 0.0) + v
+            shutil.rmtree(out, ignore_errors=True)
+            return mpx / wall
+
+        res = ab_capture(
+            lambda: one_side("batch"), lambda: one_side("seq"),
+            k=args.ab, label_a="batch", label_b="seq",
+        )
+        # per-stage steady state, seconds per image, summed over all runs of
+        # a side — this names the binder (the stage with the largest share)
+        per_img = {
+            side: {k: round(v / (args.ab * args.n), 4)
+                   for k, v in sorted(d.items())}
+            for side, d in stage_sums.items()
+        }
+        print(json.dumps({"metric": "cfg4_ab", "unit": "Mpx/s", "n": args.n,
+                          "workers": w, **res, "stage_s_per_image": per_img}))
+        shutil.rmtree(base, ignore_errors=True)
+        return
+
     results = {}
     for w in args.workers:
         out = base / f"w{w}"
-        out.mkdir()
-        cfgs = []
-        for p in paths:
-            d = out / p.stem
-            d.mkdir()
-            cfg = PipelineConfig()
-            f = save_config(cfg, str(d / "config.json"), {
-                "input_image": str(p), "output_dir": str(d),
-                "color_names": NAMES, "colors": [list(c) for c in COLORS],
-                # bench-class canvas (matches bench.py's e2e config): the
-                # default A4@40steps/mm canvas is ~100 Mpx and preview
-                # rendering/PNG encode dominates either implementation
-                "target_width_mm": 210, "target_height_mm": 297,
-                "pixels_per_mm": 4, "pen_width_px": 12, "pen_radius_px": 6,
-                "edge_low_threshold": 22, "edge_high_threshold": 70,
-                "edge_kernel_size": 7,
-            })
-            cfgs.append(load_config(f))
+        cfgs = build_cfgs(paths, out)
         t0 = time.perf_counter()
         times = run_pipeline_batch(
             cfgs, 1, 13, workers=w, mesh_dp=(None if args.mesh == "auto" else False)

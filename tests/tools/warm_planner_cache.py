@@ -31,10 +31,15 @@ def main() -> None:
     import plotweave  # noqa: F401 — enables the persistent compile cache
     import jax
 
-    from plotweave.vector.planner_device import BUCKETS, greedy_order_device
+    from plotweave.vector.planner_device import DEFAULT_WARM_BUCKETS, greedy_order_device
 
+    # default list excludes the 4096 bucket: unreachable under the default
+    # planner_device_min_n=4500 gate — pass --buckets 4096,... explicitly if
+    # you run with a lowered gate
     buckets = (
-        tuple(int(b) for b in args.buckets.split(",")) if args.buckets else BUCKETS
+        tuple(int(b) for b in args.buckets.split(","))
+        if args.buckets
+        else DEFAULT_WARM_BUCKETS
     )
     print(f"backend: {jax.default_backend()}; warming {buckets}")
     rng = np.random.default_rng(0)
