@@ -53,6 +53,15 @@ def canny(img: jax.Array, low: int, high: int) -> jax.Array:
 
     Leading dims are batched; hysteresis runs as one joint fixpoint over the
     whole batch (extra sweeps past a layer's convergence are no-ops)."""
+    return canny_packed(img, low, high)[0]
+
+
+def canny_packed(img: jax.Array, low: int, high: int):
+    """:func:`canny` + the hysteresis fixpoint's own bit-packed result:
+    (dense uint8 0/255 edges, pack_bitboards-encoded edges).  The packed
+    board feeds thinning.zhang_suen_packed directly — the two fixpoints
+    share the encoding, so the dense round trip between them is pure waste
+    (ops/frontend.py)."""
     if low > high:
         low, high = high, low
     # L1 magnitude ≤ 2040, so thresholds clamp into int16 range losslessly
@@ -123,4 +132,4 @@ def canny(img: jax.Array, low: int, high: int) -> jax.Array:
 
     edgesb, _ = jax.lax.while_loop(cond, grow, (edgesb, jnp.array(True)))
     edges = unpack_bitboards(edgesb, w)
-    return jnp.where(edges != 0, jnp.uint8(255), jnp.uint8(0))
+    return jnp.where(edges != 0, jnp.uint8(255), jnp.uint8(0)), edgesb

@@ -15,10 +15,32 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .canny import canny
+from .canny import canny_packed
 from .colorspace import bgr_to_lab_u8
 from .filters import gaussian_blur_u8
-from .thinning import zhang_suen
+from .thinning import unpack_bitboards, zhang_suen_packed
+
+
+def assign_nearest(image: jax.Array, centers: jax.Array, k: int) -> jax.Array:
+    """Nearest-Lab-center label per pixel: (..., H, W, 3) u8 + (k, 3) f32 →
+    (..., H, W) int32 with first-minimum tie-breaking (== argmin).
+
+    The distances unroll elementwise over the k static centers with a running
+    (best, argbest) pair, so XLA fuses Lab conversion + k distances + the
+    argmin into ONE pass over the image — neither the (N, 3) f32 Lab plane
+    nor an (N, k) f32 distance matrix is ever materialized in HBM (the
+    matmul-expansion form wrote both; the chain is bandwidth-bound, r4
+    roofline).  The per-pixel math matches the reference's own assignment
+    form `sum((lab - c)**2)` (02_color_extract.py:52-55)."""
+    lab = bgr_to_lab_u8(image)  # fused into the distance pass below
+    best_d = jnp.sum((lab - centers[0]) ** 2, axis=-1)
+    best = jnp.zeros(image.shape[:-1], jnp.int32)
+    for i in range(1, k):
+        d = jnp.sum((lab - centers[i]) ** 2, axis=-1)
+        take = d < best_d  # strict <: first minimum wins, like argmin
+        best = jnp.where(take, jnp.int32(i), best)
+        best_d = jnp.minimum(best_d, d)
+    return best
 
 
 @partial(
@@ -49,15 +71,8 @@ def raster_frontend(
     thin_iters: int = 120,
     pallas_thinning: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (edges (..., k, H, W) uint8, skeletons (..., k, H, W) int32)."""
-    lab = bgr_to_lab_u8(image)  # (...,H,W,3) f32
-    flat = lab.reshape(-1, 3)
-    d2 = (
-        jnp.sum(flat * flat, axis=1, keepdims=True)
-        - 2.0 * flat @ centers.T
-        + jnp.sum(centers * centers, axis=1)
-    )
-    labels = jnp.argmin(d2, axis=1).reshape(image.shape[:-1])  # (...,H,W)
+    """Returns (edges (..., k, H, W) uint8, skeletons (..., k, H, W) uint8)."""
+    labels = assign_nearest(image, centers, k)  # (...,H,W) int32
 
     # all ops are natively batched on (..., k, H, W): static-slice stencils
     # and joint fixpoint loops compile far faster than vmap-of-while on TPU.
@@ -76,11 +91,15 @@ def raster_frontend(
     masks_b = morph_bits(masks_b, valid, "ellipse", edge_kernel, edge_iters, "ed")
     masks_b = morph_bits(masks_b, valid, "ellipse", edge_kernel, edge_iters, "de")
     masks = unpack_bitboards(masks_b, w).astype(jnp.uint8) * 255
-    edges = canny(gaussian_blur_u8(masks, blur_kernel), low, high)
+    # canny's hysteresis already runs bit-packed: hand its packed fixpoint
+    # result straight to the (also bit-packed) thinner instead of paying a
+    # dense-u8 round trip + re-pack between the two fixpoints
+    edges, edges_b = canny_packed(gaussian_blur_u8(masks, blur_kernel), low, high)
     if pallas_thinning:
         from .pallas_kernels import zhang_suen_pallas  # noqa: PLC0415
 
-        skel = zhang_suen_pallas(edges, max_iter=thin_iters, rotated=True)
+        skel = zhang_suen_pallas(edges, max_iter=thin_iters, rotated=True).astype(jnp.uint8)
     else:
-        skel = zhang_suen(edges, max_iter=thin_iters, rotated=True)
+        skel_b = zhang_suen_packed(edges_b, max_iter=thin_iters, rotated=True)
+        skel = unpack_bitboards(skel_b, w).astype(jnp.uint8)
     return edges, skel

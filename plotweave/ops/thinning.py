@@ -196,7 +196,16 @@ def zhang_suen(binary: jax.Array, max_iter: int = 120, rotated: bool = True) -> 
     Measured on the 4×1500×2000 stress case: 4.1–4.5 ms vs 5.2–7.0 ms dense
     on the chip, 54 ms vs 433 ms on the CPU backend.
     """
-    x0 = pack_bitboards(binary)
+    x = zhang_suen_packed(pack_bitboards(binary), max_iter=max_iter, rotated=rotated)
+    return unpack_bitboards(x, binary.shape[-1])
+
+
+def zhang_suen_packed(packed: jax.Array, max_iter: int = 120, rotated: bool = True) -> jax.Array:
+    """:func:`zhang_suen`'s fixpoint on an ALREADY bit-packed board (the
+    representation :func:`pack_bitboards` produces — also what canny's
+    bit-packed hysteresis converges in), returning the packed skeleton.
+    Skips the dense-u8 round trip + re-pack between the two fixpoints when
+    chained after ``canny_packed`` (ops/frontend.py)."""
 
     def body(state):
         x, it, _ = state
@@ -209,5 +218,5 @@ def zhang_suen(binary: jax.Array, max_iter: int = 120, rotated: bool = True) -> 
         _, it, changed = state
         return changed & (it < max_iter)
 
-    x, _, _ = jax.lax.while_loop(cond, body, (x0, jnp.int32(0), jnp.array(True)))
-    return unpack_bitboards(x, binary.shape[-1])
+    x, _, _ = jax.lax.while_loop(cond, body, (packed, jnp.int32(0), jnp.array(True)))
+    return x

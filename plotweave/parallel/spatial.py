@@ -23,7 +23,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ._compat import shard_map
 
 from ..ops.canny import _nbr, _sobel_pair, _TG22, _SHIFT
-from ..ops.colorspace import bgr_to_lab_u8
 from ..ops.filters import gaussian_kernel_q8
 from ..ops.morphology import structuring_element
 from ..ops.thinning import _subpass
@@ -36,14 +35,11 @@ def make_local_frontend(k: int, edge_kernel: int, blur_kernel: int, low: int, hi
     se = structuring_element("ellipse", edge_kernel)
 
     def local(img_rows, ctrs):
-        lab = bgr_to_lab_u8(img_rows)
-        flat = lab.reshape(-1, 3)
-        d2 = (
-            jnp.sum(flat * flat, axis=1, keepdims=True)
-            - 2.0 * flat @ ctrs.T
-            + jnp.sum(ctrs * ctrs, axis=1)
-        )
-        labels = jnp.argmin(d2, axis=1).reshape(img_rows.shape[:2])
+        # SHARED with the unsharded frontend (assignment is pointwise — no
+        # halo needed), so the twins cannot diverge on the assign math
+        from ..ops.frontend import assign_nearest  # noqa: PLC0415
+
+        labels = assign_nearest(img_rows, ctrs, k)
 
         def per_layer(idx):
             m = (labels == idx).astype(jnp.uint8) * 255
@@ -57,7 +53,7 @@ def make_local_frontend(k: int, edge_kernel: int, blur_kernel: int, low: int, hi
             m = _morph_halo_b(m, se, True)
             m = _morph_halo_b(m, se, False)  # edge close
             e = _canny_halo_b(_blur_halo_b(m, blur_kernel), low, high, reduce_axes)
-            s = _thin_halo_b(e, reduce_axes=reduce_axes)
+            s = _thin_halo_b(e, reduce_axes=reduce_axes).astype(jnp.uint8)
             return e, s
 
         return jax.vmap(per_layer)(jnp.arange(k))

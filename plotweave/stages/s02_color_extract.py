@@ -84,13 +84,17 @@ def _binary_morph_u8(masks, w: int, open_iters: int, close_iters: int,
 def _chain_tail(masks, mk: int, oi: int, ci: int, bk: int, lo: int, hi: int):
     """Stage 03's morphology+blur+Canny and stage 04's thinning over the
     cleaned masks; returns the bit-packed (2k, H, ⌈W/8⌉) edges+skeletons."""
-    from ..ops.canny import canny  # noqa: PLC0415
+    from ..ops.canny import canny_packed  # noqa: PLC0415
     from ..ops.filters import gaussian_blur_u8  # noqa: PLC0415
-    from ..ops.thinning import zhang_suen  # noqa: PLC0415
+    from ..ops.thinning import unpack_bitboards, zhang_suen_packed  # noqa: PLC0415
 
     m = _binary_morph_u8(masks, masks.shape[-1], oi, ci, "ellipse", mk)
-    edges = canny(gaussian_blur_u8(m, bk), lo, hi)
-    skels = zhang_suen(edges, max_iter=120, rotated=True)
+    # the hysteresis fixpoint's packed board feeds the (same-encoding) packed
+    # thinner directly — no dense round trip + re-pack between the fixpoints
+    edges, edges_b = canny_packed(gaussian_blur_u8(m, bk), lo, hi)
+    skels = unpack_bitboards(
+        zhang_suen_packed(edges_b, max_iter=120, rotated=True), masks.shape[-1]
+    )
     # axis=-3 == axis 0 for the solo (k, H, w8) case; keeps leading batch dims
     return jnp.concatenate([bitpack_rows(edges), bitpack_rows(skels)], axis=-3)
 
