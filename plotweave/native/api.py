@@ -681,3 +681,27 @@ def gcode_text_native(v: np.ndarray, first: np.ndarray, last: np.ndarray,
     if w < 0:
         return None
     return out.raw[:w].decode("ascii")
+
+
+def find_period_native(v: np.ndarray):
+    """Native viz/previews.py::_find_period over the int64-packed vertex
+    view; returns (s, T, k), None (no period), or the string "unavailable"
+    when the library is missing (callers fall back to the numpy detector).
+    Parity with the Python detector is fuzz-pinned
+    (tests/test_previews_periodic.py)."""
+    from .loader import bind_find_period  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None:
+        return "unavailable"
+    bind_find_period(lib)
+    v = np.ascontiguousarray(v, dtype=np.int64)
+    out = np.empty(3, dtype=np.int64)
+    found = lib.pw_find_period(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(v.shape[0]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if not found:
+        return None
+    return int(out[0]), int(out[1]), int(out[2])

@@ -1630,3 +1630,74 @@ extern "C" int64_t pw_gcode_text(const double* v, int64_t n,
     }
     return w;
 }
+
+// ---------------------------------------------------------- period finder
+// pw_find_period replicates viz/previews.py::_find_period over the
+// int64-packed (x,y) vertex view: returns 1 and fills out = {s, T, k} when
+// the polyline contains >=3 exact repeats of a T-vertex block starting at s.
+// Same candidate order and ranking as the Python original (modal hit
+// spacings by (count desc, value desc), their pairwise sum, first 6 raw
+// hits; best k*T wins, early accept at n/2 coverage, floor n/8).  Unlike
+// the numpy version, the eq scans only walk OUTWARD from the anchor until
+// the first mismatch instead of materializing a full n-element compare per
+// candidate.  Detection-speed only: the drawing elision is byte-exact for
+// ANY returned fixpoint (previews.py), and parity with the Python detector
+// is fuzz-pinned in tests/test_previews_periodic.py.
+#include <unordered_map>
+#include <algorithm>
+
+extern "C" int pw_find_period(const int64_t* v, int64_t n, int64_t* out) {
+    int64_t j0 = n / 2;
+    if (j0 + 2 >= n) return 0;
+    int64_t j = j0;
+    while (j < n - 2 && v[j] == v[j + 1]) ++j;
+    if (j >= n - 2) j = j0;  // no transition found: anchor at the midpoint
+    const int64_t a = v[j], b = v[j + 1];
+    std::vector<int64_t> hits;
+    for (int64_t i = 0; i < n - 2 - j; ++i)
+        if (v[j + 1 + i] == a && v[j + 2 + i] == b) hits.push_back(i);
+    std::vector<int64_t> cands;
+    if ((int64_t)hits.size() > 2) {
+        std::unordered_map<int64_t, int64_t> cnt;
+        for (size_t t = 1; t < hits.size(); ++t) ++cnt[hits[t] - hits[t - 1]];
+        std::vector<std::pair<int64_t, int64_t>> cs(cnt.begin(), cnt.end());
+        std::sort(cs.begin(), cs.end(), [](const std::pair<int64_t, int64_t>& x,
+                                           const std::pair<int64_t, int64_t>& y) {
+            if (x.second != y.second) return x.second > y.second;  // count desc
+            return x.first > y.first;                              // value desc
+        });
+        int64_t top[4];
+        int nt = 0;
+        for (auto& p : cs) {
+            if (nt >= 4) break;
+            top[nt++] = p.first;
+        }
+        for (int t = 0; t < nt; ++t) cands.push_back(top[t] - 1);
+        if (nt >= 2) cands.push_back(top[0] + top[1] - 1);
+    }
+    for (size_t t = 0; t < hits.size() && t < 6; ++t) cands.push_back(hits[t]);
+    int64_t bs = 0, bT = 0, bk = 0;
+    bool have = false;
+    for (int64_t d : cands) {
+        const int64_t T = d + 1;
+        if (T < 1 || j + T >= n) continue;  // j out of eq range
+        if (v[j + T] != v[j]) continue;     // eq[j] must hold
+        int64_t i = j - 1;
+        while (i >= 0 && v[i + T] == v[i]) --i;
+        const int64_t s = i + 1;
+        i = j + 1;
+        const int64_t lim = n - T;
+        while (i < lim && v[i + T] == v[i]) ++i;
+        const int64_t e = i;
+        const int64_t k = std::min((e - s - 1) / T + 1, (n - 1 - s) / T);
+        if (k >= 3 && (!have || k * T > bk * bT)) {
+            bs = s; bT = T; bk = k; have = true;
+            if (k * T >= n / 2) break;  // covers most of the polyline
+        }
+    }
+    if (have && bT * bk >= n / 8) {
+        out[0] = bs; out[1] = bT; out[2] = bk;
+        return 1;
+    }
+    return 0;
+}

@@ -296,3 +296,15 @@ def bind_skeleton_ops(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib._pw_skel_bound = True
+
+
+def bind_find_period(lib: ctypes.CDLL) -> None:
+    if hasattr(lib, "_pw_period_bound"):
+        return
+    lib.pw_find_period.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.pw_find_period.restype = ctypes.c_int
+    lib._pw_period_bound = True

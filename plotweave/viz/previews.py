@@ -43,6 +43,19 @@ def _find_period(pts: np.ndarray):
     # period, and the drawn bytes either way, are unchanged; measured ~2×
     # on the 4K poster's million-vertex spun layers)
     v = np.ascontiguousarray(pts, dtype=np.int32).view(np.int64).ravel()
+    # the native detector additionally scans OUTWARD from the anchor instead
+    # of materializing full n-element compares per candidate (same algorithm,
+    # same result — parity fuzz-pinned in tests/test_previews_periodic.py)
+    from ..native.api import find_period_native  # noqa: PLC0415
+
+    res = find_period_native(v)
+    if res != "unavailable":
+        return res
+    return _find_period_py(v, n, j0)
+
+
+def _find_period_py(v: np.ndarray, n: int, j0: int):
+    """Numpy reference detector (the PLOTWEAVE_NO_NATIVE fallback)."""
     # anchor at a TRANSITION pair (consecutive points differ) at/after the
     # midpoint: the reference's spun walks carry duplicate-point stretches of
     # varying lengths, where a duplicate pair recurs at several offsets per

@@ -145,3 +145,49 @@ def test_find_period_shapes():
     # non-periodic data: no detection
     q = rng.integers(0, 1000, (8000, 2)).astype(np.int32)
     assert _find_period(q) is None
+
+
+def test_find_period_native_matches_python_fuzz():
+    """The C++ detector (pw_find_period) must return EXACTLY what the numpy
+    reference returns — same (s, T, k) or same None — across the adversarial
+    families (pure periods with prefix/tail, random walks, duplicate-point
+    stretches, constants, stitched periods).  Rendering is byte-exact for any
+    valid fixpoint, but parity keeps the two paths interchangeable."""
+    from plotweave.native.api import find_period_native
+    from plotweave.viz.previews import _find_period_py
+
+    if find_period_native(np.zeros(8, np.int64)) == "unavailable":
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(0)
+    checked = 0
+    for trial in range(120):
+        kind = trial % 5
+        if kind == 0:
+            T = int(rng.integers(2, 60)); k = int(rng.integers(3, 30))
+            period = rng.integers(0, 500, (T, 2))
+            pre = rng.integers(0, 500, (int(rng.integers(0, 40)), 2))
+            tail = rng.integers(0, 500, (int(rng.integers(0, 40)), 2))
+            pts = np.concatenate([pre, np.tile(period, (k, 1)), period[:1], tail])
+        elif kind == 1:
+            n = int(rng.integers(8, 3000))
+            pts = np.cumsum(rng.integers(-2, 3, (n, 2)), axis=0)
+        elif kind == 2:
+            T = int(rng.integers(3, 30)); k = int(rng.integers(3, 20))
+            period = np.repeat(rng.integers(0, 100, (T, 2)), rng.integers(1, 4, T), axis=0)
+            pts = np.tile(period, (k, 1))
+        elif kind == 3:
+            pts = np.full((int(rng.integers(8, 500)), 2), 7)
+        else:
+            Ta, Tb = int(rng.integers(2, 20)), int(rng.integers(2, 20))
+            pa = np.tile(rng.integers(0, 50, (Ta, 2)), (int(rng.integers(2, 8)), 1))
+            pb = np.tile(rng.integers(0, 50, (Tb, 2)), (int(rng.integers(3, 12)), 1))
+            pts = np.concatenate([pa, pb])
+        pts = pts.astype(np.int32)
+        n = len(pts); j0 = n // 2
+        if j0 + 2 >= n:
+            continue
+        v = np.ascontiguousarray(pts, np.int32).view(np.int64).ravel()
+        assert find_period_native(v) == _find_period_py(v, n, j0), f"trial {trial}"
+        checked += 1
+    assert checked > 100
