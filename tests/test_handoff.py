@@ -320,13 +320,20 @@ def test_save_pickle_async_flush_raises_on_write_error(tmp_path):
     flush_pending_saves()  # error queue drained; next flush is clean
 
 
-def test_pending_entries_never_evicted(tmp_path):
+def test_pending_entries_never_evicted(tmp_path, monkeypatch):
     """Byte-budget eviction must skip pending entries: their file bytes are
     not on disk yet, so eviction would strand consumers on a missing file."""
     from plotweave.utils import io as pio
 
+    pio.flush_pending_saves()
     pio._PICKLE_HANDOFF.clear()
     pio._PICKLE_HANDOFF_BYTES[0] = 0
+    # hold the background writer for the whole test: once the dump completes,
+    # the entry is legitimately re-registered as non-pending and EVICTABLE —
+    # without the hold, this assertion races the writer thread (a fast dump
+    # lets the budget slam below evict it, and load_pickle then returns a
+    # fresh unpickle instead of the identical live object)
+    monkeypatch.setattr(pio._ASYNC_WRITER, "submit", lambda obj, path: None)
     pending = {"v": np.zeros(1 << 20, np.uint8)}  # 1 MB
     p_pending = tmp_path / "pending.pkl"
     pio.save_pickle_async(pending, str(p_pending))
@@ -339,4 +346,9 @@ def test_pending_entries_never_evicted(tmp_path):
         assert pio.load_pickle(str(p_pending)) is pending
     finally:
         pio._PICKLE_HANDOFF_BYTE_CAP = old_cap
+        monkeypatch.undo()
+        # complete the held-back dump so the registry entry leaves the
+        # pending state with a valid file behind it (tmp dir or not, no
+        # global state should outlive the test in a half-written shape)
+        pio.save_pickle(pending, str(p_pending))
         pio.flush_pending_saves()
