@@ -566,6 +566,62 @@ def component_path_native(
     return out[:n] if n > 0 else out[:0]
 
 
+def component_paths_all_native(
+    labels: np.ndarray,
+    num: int,
+    a: Optional[Tuple[int, int]],
+    b: Optional[Tuple[int, int]],
+    min_len: int,
+) -> Optional[list]:
+    """All components' :func:`component_path_native` results in ONE call
+    (pw_comp_paths_all): list of (n, 2) int32 [y, x] paths indexed by
+    ``cc - 1`` (length 0 = no admissible path, exactly like the per-cc
+    call's empty return), or None if the library is missing.  The batched
+    entry shares stamped BFS buffers and one seed pass across components —
+    the per-call full-ROI clears dominated stage 08's skeleton merge."""
+    from .loader import bind_skeleton_ops  # noqa: PLC0415
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    bind_skeleton_ops(lib)
+    lab = np.ascontiguousarray(labels, dtype=np.int32)
+    h, w = lab.shape
+    cap = h * w + 16  # total path points are bounded by the foreground count
+    out = np.empty((cap, 2), dtype=np.int32)
+    lens = np.zeros(max(1, int(num) - 1), dtype=np.int64)
+    ay, ax = (a if a is not None else (0, 0))
+    by, bx = (b if b is not None else (0, 0))
+    lib.pw_comp_paths_all(
+        lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        h,
+        w,
+        int(num),
+        int(ay),
+        int(ax),
+        1 if a is not None else 0,
+        int(by),
+        int(bx),
+        1 if b is not None else 0,
+        int(min_len),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cap,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    paths, off = [], 0
+    for i in range(int(num) - 1):
+        ln = int(lens[i])
+        paths.append(out[off : off + ln].copy())
+        off += ln
+    return paths
+
+
+# NOTE: no native RDP — the reference's keep-mask distances go through
+# numpy's f32 matmul, whose BLAS kernels are size-dispatched with mixed
+# per-element fma forms (measured round 5); those bytes are oracle-pinned,
+# so the Python rdp_simplify stays (see vector/geometry.py).
+
+
 # verdict marker: the document has a non-finite value (inf/nan literal or
 # overflow — CPython float("1e999") saturates to ±inf, it does NOT raise)
 # on a token the exact G-code parser would float(); the caller must

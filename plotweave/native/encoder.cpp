@@ -897,9 +897,36 @@ extern "C" void pw_arc_batch_ptrs(
 // 08_dedup_layer_basic.py:342-372 standard ring).  Each iteration applies
 // the two subpasses simultaneously over the whole array (double-buffered),
 // stopping when a full iteration removes nothing or max_iter is reached.
+//
+// Runs BIT-PACKED: 64 px per uint64 lane, the same boolean algebra as the
+// device twin ops/thinning._subpass_bits (neighbor count B via carry-save
+// adders, A==1 via an exactly-one accumulator, direction products as AND
+// trees).  Padding bits beyond W start zero and stay zero (thinning only
+// clears bits), so the zero border falls out of the shift fills.  Replaced
+// the dense per-pixel subpass in round 5: stage 08's per-cluster thins were
+// its largest cost (fuzz parity: test_native_thin_fuzz_identical_to_jax).
 
-static inline int zs_subpass(const uint8_t* src, uint8_t* dst, int h, int w,
-                             int first, int rotated) {
+static inline uint64_t zs_east(const uint64_t* row, int k, int nw) {
+    uint64_t v = row[k] >> 1;
+    if (k + 1 < nw) v |= row[k + 1] << 63;
+    return v;
+}
+
+static inline uint64_t zs_west(const uint64_t* row, int k) {
+    uint64_t v = row[k] << 1;
+    if (k > 0) v |= row[k - 1] >> 63;
+    return v;
+}
+
+static inline void zs_fa(uint64_t a, uint64_t b, uint64_t c, uint64_t& s,
+                         uint64_t& cy) {  // bitboard full adder
+    uint64_t ab = a ^ b;
+    s = ab ^ c;
+    cy = (a & b) | (c & ab);
+}
+
+static int zs_subpass_bits(const uint64_t* src, uint64_t* dst, int h, int nw,
+                           int first, int rotated, const uint64_t* zrow) {
     // ring offsets (dy,dx): textbook N,NE,E,SE,S,SW,W,NW; rotated = negated
     static const int RDY[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
     static const int RDX[8] = {0, 1, 1, 1, 0, -1, -1, -1};
@@ -908,49 +935,77 @@ static inline int zs_subpass(const uint8_t* src, uint8_t* dst, int h, int w,
         dy[i] = rotated ? -RDY[i] : RDY[i];
         dx[i] = rotated ? -RDX[i] : RDX[i];
     }
-    int changed = 0;
+    uint64_t changed = 0;
     for (int y = 0; y < h; y++) {
-        for (int x = 0; x < w; x++) {
-            uint8_t v = src[(size_t)y * w + x];
-            dst[(size_t)y * w + x] = v;
-            if (!v) continue;
-            uint8_t p[9];
-            for (int i = 0; i < 8; i++) {
-                int ny = y + dy[i], nx = x + dx[i];
-                p[i] = (ny >= 0 && ny < h && nx >= 0 && nx < w)
-                           ? src[(size_t)ny * w + nx]
-                           : 0;
+        const uint64_t* rows[3] = {
+            y > 0 ? src + (size_t)(y - 1) * nw : zrow,
+            src + (size_t)y * nw,
+            y + 1 < h ? src + (size_t)(y + 1) * nw : zrow,
+        };
+        uint64_t* out = dst + (size_t)y * nw;
+        for (int k = 0; k < nw; k++) {
+            uint64_t x = rows[1][k];
+            if (x == 0) {  // kill mask is ANDed with x — empty words stay empty
+                out[k] = 0;
+                continue;
             }
-            p[8] = p[0];
-            int b = 0, a = 0;
+            uint64_t n[8];
             for (int i = 0; i < 8; i++) {
-                b += p[i];
-                a += (p[i] == 0 && p[i + 1] == 1);
+                const uint64_t* rr = rows[dy[i] + 1];
+                n[i] = dx[i] == 0 ? rr[k]
+                                  : (dx[i] > 0 ? zs_east(rr, k, nw) : zs_west(rr, k));
             }
-            if (b < 2 || b > 6 || a != 1) continue;
-            // p[0]=P2(N) p[2]=P4(E) p[4]=P6(S) p[6]=P8(W)
-            int ok;
-            if (first)
-                ok = (p[0] * p[2] * p[4] == 0) && (p[2] * p[4] * p[6] == 0);
-            else
-                ok = (p[0] * p[2] * p[6] == 0) && (p[0] * p[4] * p[6] == 0);
-            if (ok) { dst[(size_t)y * w + x] = 0; changed = 1; }
+            // B = sum of the 8 neighbor bits, bit-sliced via carry-save adders
+            uint64_t s1, c1, s2, c2, b0, c4, s5, c5;
+            zs_fa(n[0], n[1], n[2], s1, c1);
+            zs_fa(n[3], n[4], n[5], s2, c2);
+            uint64_t s3 = n[6] ^ n[7], c3 = n[6] & n[7];
+            zs_fa(s1, s2, s3, b0, c4);
+            zs_fa(c1, c2, c3, s5, c5);
+            uint64_t b1 = s5 ^ c4, c6 = s5 & c4;
+            uint64_t b2 = c5 ^ c6, b3 = c5 & c6;
+            uint64_t b_ok = (b1 | b2 | b3) & ~(b3 | (b2 & b1 & b0));  // 2<=B<=6
+            // A == 1: exactly one 0->1 transition around the ring
+            uint64_t any_ = ~n[0] & n[1], two = 0;
+            for (int i = 1; i < 8; i++) {
+                uint64_t t = ~n[i] & n[(i + 1) & 7];
+                two |= any_ & t;
+                any_ |= t;
+            }
+            uint64_t a1 = any_ & ~two;
+            uint64_t p2 = n[0], p4 = n[2], p6 = n[4], p8 = n[6];
+            uint64_t dir_ok = first ? (~(p2 & p4 & p6) & ~(p4 & p6 & p8))
+                                    : (~(p2 & p4 & p8) & ~(p2 & p6 & p8));
+            uint64_t v = x & ~(a1 & b_ok & dir_ok);
+            out[k] = v;
+            changed |= x ^ v;
         }
     }
-    return changed;
+    return changed != 0;
 }
 
 // img: h*w uint8, any nonzero = foreground; thinned in place to 0/1.
 extern "C" int pw_thin(uint8_t* img, int h, int w, int max_iter, int rotated) {
-    size_t n = (size_t)h * w;
-    std::vector<uint8_t> tmp(n);
-    for (size_t i = 0; i < n; i++) img[i] = img[i] ? 1 : 0;
+    int nw = (w + 63) / 64;
+    std::vector<uint64_t> a((size_t)h * nw, 0), b((size_t)h * nw, 0);
+    std::vector<uint64_t> zrow(nw, 0);
+    for (int y = 0; y < h; y++) {  // pack, LSB-first within each word
+        const uint8_t* r = img + (size_t)y * w;
+        uint64_t* br = a.data() + (size_t)y * nw;
+        for (int x = 0; x < w; x++)
+            if (r[x]) br[x >> 6] |= (uint64_t)1 << (x & 63);
+    }
     int it = 0;
     while (it < max_iter) {
-        int c1 = zs_subpass(img, tmp.data(), h, w, 1, rotated);
-        int c2 = zs_subpass(tmp.data(), img, h, w, 0, rotated);
+        int c1 = zs_subpass_bits(a.data(), b.data(), h, nw, 1, rotated, zrow.data());
+        int c2 = zs_subpass_bits(b.data(), a.data(), h, nw, 0, rotated, zrow.data());
         it++;
         if (!c1 && !c2) break;
+    }
+    for (int y = 0; y < h; y++) {  // unpack to 0/1
+        uint8_t* r = img + (size_t)y * w;
+        const uint64_t* br = a.data() + (size_t)y * nw;
+        for (int x = 0; x < w; x++) r[x] = (uint8_t)((br[x >> 6] >> (x & 63)) & 1);
     }
     return it;
 }
@@ -1059,6 +1114,145 @@ extern "C" int64_t pw_comp_path(const int32_t* lab, int h, int w, int cc,
     int64_t m = geodesic(lab, h, w, cc, u, v, b, out_yx, cap);
     return m >= need ? m : 0;
 }
+
+// ---------------------------------------- batched component paths (round 5)
+//
+// pw_comp_path semantics for EVERY component 1..num-1 of one label image in
+// one call.  The per-call costs dominated stage 08's skeleton merge (96
+// calls per bench run): each call allocated + cleared full-ROI prev/seen
+// buffers three times and re-scanned the whole image for its seed.  Here
+// the buffers are allocated once and "cleared" by stamping (seen[i]==stamp
+// marks this-BFS visits, prev is only read behind a stamp check), seeds for
+// all components are collected in ONE row-major pass (identical to each
+// per-component first-match scan), and the diameter geodesic reuses the
+// second sweep's BFS tree instead of re-running it from the same source
+// (bfs_tree is deterministic, so the tree is identical).  Paths land in one
+// caller-provided arena; lens[cc-1] is each component's point count (0 =
+// no admissible path, exactly like pw_comp_path's 0 return).
+
+namespace {
+
+struct StampBufs {
+    std::vector<int32_t> prev;
+    std::vector<uint32_t> seen;
+    std::vector<int32_t> que;
+    uint32_t stamp = 0;
+};
+
+static int32_t bfs_tree_st(const int32_t* lab, int h, int w, int cc,
+                           int32_t src, StampBufs& b) {
+    static const int DY[8] = {-1, -1, -1, 0, 1, 1, 1, 0};
+    static const int DX[8] = {-1, 0, 1, 1, 1, 0, -1, -1};
+    b.stamp++;
+    b.que.clear();
+    b.seen[src] = b.stamp;
+    b.prev[src] = -1;
+    b.que.push_back(src);
+    size_t head = 0;
+    int32_t last = src;
+    while (head < b.que.size()) {
+        int32_t cur = b.que[head++];
+        last = cur;
+        int y = cur / w, x = cur % w;
+        for (int i = 0; i < 8; i++) {
+            int ny = y + DY[i], nx = x + DX[i];
+            if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+            int32_t ni = ny * w + nx;
+            if (lab[ni] == cc && b.seen[ni] != b.stamp) {
+                b.seen[ni] = b.stamp;
+                b.prev[ni] = cur;
+                b.que.push_back(ni);
+            }
+        }
+    }
+    return last;
+}
+
+// walk prev pointers goal->start from the CURRENT stamp's tree; returns
+// npts written to out_yx (as y,x pairs) or 0 when goal is unreached/over cap
+static int64_t walk_path_st(int32_t start, int32_t goal, int w, StampBufs& b,
+                            std::vector<int32_t>& rev, int32_t* out_yx,
+                            int64_t cap) {
+    if (start == goal) {
+        if (cap < 1) return 0;
+        out_yx[0] = start / w;
+        out_yx[1] = start % w;
+        return 1;
+    }
+    if (b.seen[goal] != b.stamp) return 0;
+    rev.clear();
+    int32_t cur = goal;
+    rev.push_back(cur);
+    while (cur != start) {
+        int32_t p = b.prev[cur];
+        if (p == -1) return 0;
+        rev.push_back(p);
+        cur = p;
+    }
+    int64_t m = (int64_t)rev.size();
+    if (m > cap) return 0;
+    for (int64_t i = 0; i < m; i++) {
+        int32_t v = rev[m - 1 - i];
+        out_yx[2 * i] = v / w;
+        out_yx[2 * i + 1] = v % w;
+    }
+    return m;
+}
+
+}  // namespace
+
+extern "C" int64_t pw_comp_paths_all(const int32_t* lab, int h, int w,
+                                     int num, int ay, int ax, int aok, int by,
+                                     int bx, int bok, int min_len,
+                                     int32_t* out_yx, int64_t cap,
+                                     int64_t* lens) {
+    if (num <= 1) return 0;
+    size_t n = (size_t)h * w;
+    StampBufs b;
+    b.prev.resize(n);
+    b.seen.assign(n, 0);
+    b.que.reserve(1024);
+    std::vector<int32_t> rev;
+    // row-major first pixel per component == each per-call seed scan
+    std::vector<int32_t> seed(num, -1);
+    for (int64_t i = 0; i < (int64_t)n; i++) {
+        int32_t c = lab[i];
+        if (c > 0 && c < num && seed[c] < 0) seed[c] = (int32_t)i;
+    }
+    int64_t need = min_len < 2 ? 2 : min_len;
+    int64_t total = 0;
+    for (int cc = 1; cc < num; cc++) {
+        lens[cc - 1] = 0;
+        if (seed[cc] < 0) continue;
+        int32_t* dst = out_yx + 2 * total;
+        int64_t room = cap - total;
+        if (aok && bok && lab[(size_t)ay * w + ax] == cc &&
+            lab[(size_t)by * w + bx] == cc) {
+            int32_t s0 = ay * w + ax, g0 = by * w + bx;
+            if (s0 != g0) bfs_tree_st(lab, h, w, cc, s0, b);
+            int64_t m = walk_path_st(s0, g0, w, b, rev, dst, room);
+            if (m >= need) {
+                lens[cc - 1] = m;
+                total += m;
+                continue;
+            }
+        }
+        int32_t u = bfs_tree_st(lab, h, w, cc, seed[cc], b);
+        int32_t v = bfs_tree_st(lab, h, w, cc, u, b);
+        int64_t m = walk_path_st(u, v, w, b, rev, dst, room);
+        if (m >= need) {
+            lens[cc - 1] = m;
+            total += m;
+        }
+    }
+    return total;
+}
+
+// NOTE: no native RDP keep-mask.  The reference computes the perpendicular
+// distances with numpy's f32 matmul (08:459), whose BLAS kernels are
+// SIZE-DISPATCHED with mixed per-element fma forms (measured round 5: pure
+// fmaf at m=200k rows, mixed forms at m=46) — a closed-form C++ port cannot
+// be bit-exact, and those bytes are oracle-pinned.
 
 // 8-neighbor foreground degree from a component label image (labels != 0 is
 // foreground) — identical to vector.trace.degree_map on the same mask.

@@ -229,6 +229,23 @@ def bind_skeleton_ops(lib: ctypes.CDLL) -> None:
         ctypes.c_int64,
     ]
     lib.pw_comp_path.restype = ctypes.c_int64
+    lib.pw_comp_paths_all.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.pw_comp_paths_all.restype = ctypes.c_int64
     lib.pw_degree.argtypes = [
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int,

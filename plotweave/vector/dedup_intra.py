@@ -395,12 +395,17 @@ def skeleton_merge(
         a0 = nearest_skel(anchor_a)
         a1 = nearest_skel(anchor_b)
 
-        from ..native.api import component_path_native  # noqa: PLC0415
+        from ..native.api import component_paths_all_native  # noqa: PLC0415
 
         lab = np.ascontiguousarray(lab, dtype=np.int32)
+        # one batched native call for every component (shared stamped BFS
+        # buffers + one seed pass); per-cc results identical to the per-call
+        # pw_comp_path (fuzz-pinned in test_native)
+        paths_all = component_paths_all_native(lab, int(num), a0, a1, min_path_len)
         for cc in range(1, int(num)):
-            path = component_path_native(lab, cc, a0, a1, min_path_len)
-            if path is None:  # no native library: identical Python BFS
+            if paths_all is not None:
+                path = paths_all[cc - 1]
+            else:  # no native library: identical Python BFS
                 comp = (lab == cc).astype(np.uint8) * 255
                 aa = a0 if (a0 is not None and comp[a0]) else None
                 ab = a1 if (a1 is not None and comp[a1]) else None

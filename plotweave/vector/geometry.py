@@ -273,6 +273,12 @@ def split_on_jumps(poly: np.ndarray, max_jump: float, keep_singleton: bool = Tru
 def rdp_simplify(points: np.ndarray, eps: float) -> np.ndarray:
     """Iterative Ramer–Douglas–Peucker keep-mask (08:451-463 inline variant:
     stack-based, perpendicular distance via unnormalized normal)."""
+    # NOT nativized (round-5 negative result): the reference computes the
+    # perpendicular distances with `(P[s+1:e]-a) @ seg_n` (08:459), and
+    # numpy's f32 matmul semantics are SIZE-DISPATCHED BLAS kernels (measured:
+    # one fmaf form for m=200k rows, mixed per-element forms at m=46) — a
+    # closed-form C++ replication cannot be bit-exact, and these bytes are
+    # oracle-pinned.  The ~0.5 ms/fragment Python overhead stays.
     P = np.asarray(points, dtype=np.float32)
     keep = np.zeros(len(P), bool)
     keep[0] = keep[-1] = True

@@ -382,3 +382,41 @@ def test_native_scale_batch_bit_identical():
         a = S.scale_polys([v], 0.19, 0.19, 20.0, 20.0)
         b = numpy_path([v], 0.19, 0.19, 20.0, 20.0)
         np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_native_comp_paths_all_fuzz_identical_to_per_cc():
+    """The batched pw_comp_paths_all must reproduce every per-component
+    pw_comp_path result exactly (shared stamped buffers + one seed pass
+    change the allocation strategy, never the traversal)."""
+    import cv2
+
+    from plotweave.native.api import component_path_native, component_paths_all_native
+
+    rng = np.random.default_rng(13)
+    for trial in range(25):
+        h, w = int(rng.integers(10, 90)), int(rng.integers(10, 90))
+        img = np.zeros((h, w), np.uint8)
+        for _ in range(int(rng.integers(1, 8))):
+            p0 = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+            p1 = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+            cv2.line(img, p0, p1, 255, 1)
+        num, lab = cv2.connectedComponents((img > 0).astype(np.uint8), connectivity=8)
+        lab = lab.astype(np.int32)
+        min_len = int(rng.integers(2, 8))
+        ys, xs = np.nonzero(img)
+        anchors = [None, None]
+        if ys.size:
+            for i in range(2):
+                if rng.random() < 0.7:
+                    j = int(rng.integers(0, ys.size))
+                    anchors[i] = (int(ys[j]), int(xs[j]))
+                else:
+                    anchors[i] = (int(rng.integers(0, h)), int(rng.integers(0, w)))
+        a0, a1 = anchors
+        batch = component_paths_all_native(lab, int(num), a0, a1, min_len)
+        assert batch is not None and len(batch) == int(num) - 1
+        for cc in range(1, int(num)):
+            single = component_path_native(lab, cc, a0, a1, min_len)
+            np.testing.assert_array_equal(
+                batch[cc - 1], single, err_msg=f"trial {trial} cc {cc}"
+            )
