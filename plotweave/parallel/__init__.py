@@ -13,13 +13,13 @@ distributed backend (SURVEY §2.9).  The TPU-native replacements:
 
 from .mesh import make_mesh, data_sharding
 from .batch import frontend_batch
-from .spatial import fit_shard_rows, sharded_clean_chain, spatial_frontend
+from .spatial import fit_shard_rows, sharded_chain, spatial_frontend
 
 __all__ = [
     "make_mesh",
     "data_sharding",
     "frontend_batch",
     "fit_shard_rows",
-    "sharded_clean_chain",
+    "sharded_chain",
     "spatial_frontend",
 ]

@@ -74,13 +74,12 @@ def _compiled_chain(mesh, w: int, params: Tuple[int, ...]):
     from jax.sharding import PartitionSpec as P
     from ._compat import shard_map
 
-    from ..stages.s02_color_extract import _clean_chain_blob_batch
+    from ..stages.s02_color_extract import _chain_blob_batch
 
-    oi_x, ci_x, mk, oi, ci, bk, lo, hi = params
+    mk, oi, ci, bk, lo, hi = params
     body = partial(
-        _clean_chain_blob_batch,
-        w=w, open_iters=oi_x, close_iters=ci_x,
-        mk=mk, oi=oi, ci=ci, bk=bk, lo=lo, hi=hi,
+        _chain_blob_batch,
+        w=w, mk=mk, oi=oi, ci=ci, bk=bk, lo=lo, hi=hi,
     )
     fn = shard_map(body, mesh=mesh, in_specs=(P("data"),), out_specs=P("data"), check_rep=False)
     return jax.jit(fn)
@@ -132,10 +131,10 @@ class DeviceBatcher:
 
     # ---- the stage-02 entry point ----
     def run_chain(self, packed_np: np.ndarray, w: int, params: Tuple[int, ...]) -> np.ndarray:
-        """(k, H, ⌈W/8⌉) uint8 packed one-hot masks → flat uint8 blob
-        [packed cleaned masks][packed edges][packed skeletons], identical to
-        stage 02's solo ``_clean_masks_chain`` fetch.  Blocks until the
-        dispatcher has run this submission's group."""
+        """(k, H, ⌈W/8⌉) uint8 packed CLEANED masks → flat uint8 blob
+        [packed edges][packed skeletons], identical to stage 02's solo
+        ``_chain_from_clean`` fetch.  Blocks until the dispatcher has run
+        this submission's group."""
         key = (packed_np.shape, int(w), tuple(int(p) for p in params))
         slot = [None, None]
         with self._cv:

@@ -258,12 +258,10 @@ def fit_shard_rows(h: int, requested: int, n_devices: int, max_radius: int = 0) 
     return 1
 
 
-def sharded_clean_chain(
+def sharded_chain(
     mesh: Mesh,
-    packed_raw,
+    packed_clean,
     w: int,
-    open_iters: int,
-    close_iters: int,
     mk: int,
     oi: int,
     ci: int,
@@ -271,42 +269,38 @@ def sharded_clean_chain(
     lo: int,
     hi: int,
 ):
-    """Row-sharded twin of stage 02's fused ``_clean_masks_chain`` device
-    program (s02_color_extract.py): unpack the uploaded one-hot masks, mask
-    clean-up, stage 03's morphology+blur+Canny, stage 04's thinning — with
-    rows split over the ``space`` mesh axis and halos exchanged over ICI.
+    """Row-sharded twin of stage 02's fused ``_chain_from_clean`` device
+    program (s02_color_extract.py): unpack the uploaded CLEANED masks,
+    stage 03's morphology+blur+Canny, stage 04's thinning — with rows split
+    over the ``space`` mesh axis and halos exchanged over ICI.
 
     Bit-identical to the unsharded program: returns the same flat u8 blob
-    ``[packed masks][packed edges][packed skels]`` plus the (k, H, W) masks.
-    This is the TPU answer to the reference's resolution cap
-    (01_resize.py:15-20): an image too large for one chip's HBM streams
-    through N chips' HBM instead of being downscaled.
+    ``[packed edges][packed skels]``.  This is the TPU answer to the
+    reference's resolution cap (01_resize.py:15-20): an image too large for
+    one chip's HBM streams through N chips' HBM instead of being downscaled.
+    (Round 5: the stage-02 mask refine moved to the host's cv2, so the rect
+    clean-up stage and the masks leg of the blob dropped out.)
     """
-    run = _build_sharded_chain(mesh, w, open_iters, close_iters, mk, oi, ci, bk, lo, hi)
-    return run(packed_raw)
+    run = _build_sharded_chain(mesh, w, mk, oi, ci, bk, lo, hi)
+    return run(packed_clean)
 
 
 @_lru_cache(maxsize=32)
-def _build_sharded_chain(mesh, w, open_iters, close_iters, mk, oi, ci, bk, lo, hi):
+def _build_sharded_chain(mesh, w, mk, oi, ci, bk, lo, hi):
     """Cached program builder: without this every call would create a fresh
     shard_map closure + jit identity and re-trace the whole fused chain
     (minutes on the remote compiler) — batch mode calls once per image."""
     from ..ops.bitpack import bitpack_rows, bitunpack_rows  # noqa: PLC0415
 
     def local(packed):
-        masks = bitunpack_rows(packed, w) * jnp.uint8(255)
-        if open_iters > 0:
-            masks = _morph_prog_halo(masks, "rect", 3, open_iters, "ed")
-        if close_iters > 0:
-            masks = _morph_prog_halo(masks, "rect", 3, close_iters, "de")
-        m = masks
+        m = bitunpack_rows(packed, w) * jnp.uint8(255)
         if oi > 0:
             m = _morph_prog_halo(m, "ellipse", mk, oi, "ed")
         if ci > 0:
             m = _morph_prog_halo(m, "ellipse", mk, ci, "de")
         edges = _canny_halo_b(_blur_halo_b(m, bk), lo, hi)
         skels = _thin_halo_b(edges)
-        return bitpack_rows(masks), bitpack_rows(edges), bitpack_rows(skels), masks
+        return bitpack_rows(edges), bitpack_rows(skels)
 
     fn = shard_map(
         local,
@@ -315,17 +309,14 @@ def _build_sharded_chain(mesh, w, open_iters, close_iters, mk, oi, ci, bk, lo, h
         out_specs=(
             P(None, AXIS, None),
             P(None, AXIS, None),
-            P(None, AXIS, None),
-            P(None, AXIS, None),
         ),
         check_rep=False,
     )
 
     @jax.jit
     def run(packed):
-        pm, pe, ps, masks = fn(packed)
-        blob = jnp.concatenate([pm.reshape(-1), pe.reshape(-1), ps.reshape(-1)])
-        return blob, masks
+        pe, ps = fn(packed)
+        return jnp.concatenate([pe.reshape(-1), ps.reshape(-1)])
 
     return run
 

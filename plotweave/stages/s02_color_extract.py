@@ -8,10 +8,12 @@ The default ``kmeans_init: "host-exact"`` path is bit-identical to the
 reference on ARBITRARY inputs (photos included): cv2's fixed-point uint8
 Lab conversion on the host, the exact ``cv2.kmeans`` replication
 (ops/cvkmeans.py — OpenCV MWC RNG from its fresh-process state, kmeans++,
-float32 Lloyd), and the reference's numpy assignment semantics in native
-C++.  Raw one-hot masks then cross to the device bit-packed (8 px/byte) for
-the morphology clean-up and, when the runner chains stages 03/04, the fused
-edges+skeletons program — the stage's device work is ONE dispatch.
+float32 Lloyd), the reference's numpy assignment semantics in native C++,
+and the reference's verbatim cv2 mask refine on host.  When the runner
+chains stages 03/04, the CLEANED masks cross to the device bit-packed
+(8 px/byte) for the fused edges+skeletons program — ONE dispatch whose
+fetch runs on a side thread so the mask PNG writes overlap it (round 5:
+the blob no longer carries the masks back, a third less download).
 
 ``kmeans_init: "device"`` (opt-in) instead fuses the entire fit on device
 with jax-PRNG sampling — deterministic per seed, not cv2-compatible.
@@ -137,63 +139,55 @@ def _device_init_stage(
     return jnp.concatenate(parts), masks
 
 
-@partial(jax.jit, static_argnames=("w", "open_iters", "close_iters"))
-def _clean_masks(packed_raw, w: int, open_iters: int, close_iters: int):
-    """Device program for the host-exact path: unpack the uploaded one-hot
-    masks, apply the 3×3 rect open/close clean-up (02:136-154), and return
-    them bit-packed (host transfer) plus unpacked (device-resident handoff
-    to stage 03)."""
-    masks = _binary_morph_u8(bitunpack_rows(packed_raw, w), w, open_iters, close_iters)
-    return bitpack_rows(masks), masks
+def _host_clean_masks(labels: np.ndarray, k: int, open_iters: int, close_iters: int):
+    """The reference's per-cluster mask refine, verbatim cv2 ops (02:150-154):
+    one-hot 0/255 uint8 → 3×3-rect open then close.  Runs on HOST (round 5):
+    being cv2 itself it is trivially byte-exact vs the reference (the device
+    ``_binary_morph_u8`` replication remains for the kmeans_init='device'
+    path), and keeping it host-side drops the cleaned masks from the fused
+    chain's blob — a third of the download on the flapping tunnel — while
+    the mask PNG writes overlap the chain fetch."""
+    import cv2  # noqa: PLC0415
+
+    kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (3, 3))
+    out = []
+    for kk in range(k):
+        m = (labels == kk).astype(np.uint8) * 255
+        if open_iters > 0:
+            m = cv2.morphologyEx(m, cv2.MORPH_OPEN, kernel, iterations=open_iters)
+        if close_iters > 0:
+            m = cv2.morphologyEx(m, cv2.MORPH_CLOSE, kernel, iterations=close_iters)
+        out.append(m)
+    return out
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "w", "open_iters", "close_iters", "mk", "oi", "ci", "bk", "lo", "hi",
-    ),
-)
-def _clean_masks_chain(
-    packed_raw,
-    w: int, open_iters: int, close_iters: int,
-    mk: int, oi: int, ci: int, bk: int, lo: int, hi: int,
+@partial(jax.jit, static_argnames=("w", "mk", "oi", "ci", "bk", "lo", "hi"))
+def _chain_from_clean(
+    packed_clean, w: int, mk: int, oi: int, ci: int, bk: int, lo: int, hi: int
 ):
-    """Fused 02→03→04 device program: mask clean-up plus stage 03's
-    morphology+blur+Canny and stage 04's thinning — one dispatch round trip
-    for three stages' device work.  Layer order is the original cluster
-    order (per-layer ops are order-independent; the host permutes rows when
-    it knows the dark→light relabel).  Everything rides home in ONE flat u8
-    blob: [packed masks (k·H·W8)] [packed edges] [packed skels]."""
-    packed_masks, masks = _clean_masks(packed_raw, w, open_iters, close_iters)
-    blob = jnp.concatenate(
-        [
-            packed_masks.reshape(-1),
-            _chain_tail(masks, mk, oi, ci, bk, lo, hi).reshape(-1),
-        ]
-    )
-    return blob, masks
+    """Fused 03→04 device program over stage 02's already-cleaned masks:
+    stage 03's morphology+blur+Canny plus stage 04's thinning — one dispatch
+    round trip for the stages' device work.  Layer order is the original
+    cluster order (per-layer ops are order-independent; the host permutes
+    rows when it knows the dark→light relabel).  One flat u8 blob rides
+    home: [packed edges (k·H·W8)] [packed skels]."""
+    masks = bitunpack_rows(packed_clean, w) * jnp.uint8(255)
+    return _chain_tail(masks, mk, oi, ci, bk, lo, hi).reshape(-1)
 
 
-def _clean_chain_blob_batch(
-    packed_raw,
+def _chain_blob_batch(
+    packed_clean,
     *,
-    w: int, open_iters: int, close_iters: int,
-    mk: int, oi: int, ci: int, bk: int, lo: int, hi: int,
+    w: int, mk: int, oi: int, ci: int, bk: int, lo: int, hi: int,
 ):
-    """Batched twin of :func:`_clean_masks_chain`: (B, k, H, ⌈W/8⌉) packed
-    one-hot masks → (B, L) per-image blobs [packed masks][edges][skels].
+    """Batched twin of :func:`_chain_from_clean`: (B, k, H, ⌈W/8⌉) packed
+    CLEANED masks → (B, L) per-image blobs [packed edges][packed skels].
     Every op is leading-dim batched and integer, so each row is byte-equal
     to the solo program's blob (the mesh-DP batch runner relies on this —
     parallel/batchrun.py)."""
-    masks = _binary_morph_u8(bitunpack_rows(packed_raw, w), w, open_iters, close_iters)
-    b = packed_raw.shape[0]
-    return jnp.concatenate(
-        [
-            bitpack_rows(masks).reshape(b, -1),
-            _chain_tail(masks, mk, oi, ci, bk, lo, hi).reshape(b, -1),
-        ],
-        axis=1,
-    )
+    masks = bitunpack_rows(packed_clean, w) * jnp.uint8(255)
+    b = packed_clean.shape[0]
+    return _chain_tail(masks, mk, oi, ci, bk, lo, hi).reshape(b, -1)
 
 
 @lru_cache(maxsize=8)
@@ -373,6 +367,17 @@ def run(cfg: PipelineConfig) -> None:
         packed = blob[n_stats : n_stats + k * h * w8].reshape(k, h, w8)
         if fuse:
             chain_packed = blob[n_stats + k * h * w8 :].reshape(2 * k, h, w8)
+
+        def mask_of(cluster_idx: int) -> np.ndarray:
+            m = np.unpackbits(packed[cluster_idx], axis=-1)[..., :w]
+            m *= np.uint8(255)
+            return m
+
+        return _finish_kmeans(
+            cfg, names, k, w, centers, counts0, mask_of,
+            (lambda: chain_packed) if chain_packed is not None else None,
+            masks_dev,
+        )
     else:
         # host-exact: cv2's fixed-point uint8 Lab (cvtColor), the identical
         # subsample index stream (rng(42).choice, 02:41), the bit-exact
@@ -392,75 +397,95 @@ def run(cfg: PipelineConfig) -> None:
         )
         labels = assign_labels(flat, centers).reshape(h, w)
         counts0 = np.bincount(labels.ravel(), minlength=k).astype(np.int64)
-        # raw one-hot masks cross the tunnel bit-packed (8 px/byte); the
-        # 3×3 clean-up and any fused 03/04 work stay on device
-        packed_np = np.stack([np.packbits(labels == kk, axis=-1) for kk in range(k)])
-        shard_n = _resolve_shard_n(cfg, h, w) if fuse else 0
+        # the reference's 3×3 rect mask refine runs on HOST (cv2 verbatim —
+        # _host_clean_masks); only the cleaned masks cross the tunnel
+        # bit-packed (8 px/byte), and only when stages 03/04 are fused in
+        masks8 = _host_clean_masks(
+            labels, k, int(cfg.extract_open_iters), int(cfg.extract_close_iters)
+        )
+
+        if not fuse:
+            # stage 02 standalone (resume/partial runs): pure host, no
+            # device dispatch at all
+            return _finish_kmeans(
+                cfg, names, k, w, centers, counts0, lambda ci: masks8[ci], None, None
+            )
+
+        packed_np = np.stack([np.packbits(m > 0, axis=-1) for m in masks8])
+        shard_n = _resolve_shard_n(cfg, h, w)
         batcher = _maybe_batcher(cfg, fuse, shard_n)
         if batcher is not None:
             # mesh-DP batch run: this image's chain dispatch joins its
             # siblings in one shard_map over the data axis (byte-identical
-            # per image — parallel/batchrun.py)
-            blob = batcher.run_chain(
-                packed_np,
-                w,
-                (int(cfg.extract_open_iters), int(cfg.extract_close_iters))
-                + edge_params(cfg),
+            # per image — parallel/batchrun.py).  The blocking rendezvous
+            # runs on a side thread so this image's mask PNG writes overlap
+            # its group's device round trip.
+            def chain_submit():
+                return batcher.run_chain(
+                    packed_np, w, edge_params(cfg)
+                ).reshape(2 * k, h, w8)
+
+            return _finish_kmeans(
+                cfg, names, k, w, centers, counts0, lambda ci: masks8[ci],
+                _bg_fetch(chain_submit), None,
             )
-            masks_dev = None
-            packed = blob[: k * h * w8].reshape(k, h, w8)
-            chain_packed = blob[k * h * w8 :].reshape(2 * k, h, w8)
-            return _finish_kmeans(cfg, names, k, w, centers, counts0, packed,
-                                  chain_packed, masks_dev)
         with raster_device_ctx(cfg):
-            packed_raw = jnp.asarray(packed_np)
-            if fuse:
-                if shard_n >= 1:
-                    from ..parallel.spatial import sharded_clean_chain  # noqa: PLC0415
+            packed_clean = jnp.asarray(packed_np)
+            if shard_n >= 1:
+                from ..parallel.spatial import sharded_chain  # noqa: PLC0415
 
-                    cpu_mode = (
-                        str(getattr(cfg, "raster_device", "auto")).lower() == "cpu"
-                    )
-                    mesh = _space_mesh(shard_n, "cpu" if cpu_mode else "")
-                    print(f"[shard] raster chain row-sharded over {shard_n} device(s)")
-                    blob_dev, masks_dev = sharded_clean_chain(
-                        mesh,
-                        packed_raw,
-                        w,
-                        int(cfg.extract_open_iters),
-                        int(cfg.extract_close_iters),
-                        *edge_params(cfg),
-                    )
-                else:
-                    blob_dev, masks_dev = _clean_masks_chain(
-                        packed_raw,
-                        w,
-                        int(cfg.extract_open_iters),
-                        int(cfg.extract_close_iters),
-                        *edge_params(cfg),
-                    )
-            else:
-                packed_dev, masks_dev = _clean_masks(
-                    packed_raw,
-                    w,
-                    int(cfg.extract_open_iters),
-                    int(cfg.extract_close_iters),
+                cpu_mode = (
+                    str(getattr(cfg, "raster_device", "auto")).lower() == "cpu"
                 )
-        if fuse:
-            blob = np.asarray(blob_dev)
-            packed = blob[: k * h * w8].reshape(k, h, w8)
-            chain_packed = blob[k * h * w8 :].reshape(2 * k, h, w8)
-        else:
-            packed = np.asarray(packed_dev)
+                mesh = _space_mesh(shard_n, "cpu" if cpu_mode else "")
+                print(f"[shard] raster chain row-sharded over {shard_n} device(s)")
+                blob_dev = sharded_chain(mesh, packed_clean, w, *edge_params(cfg))
+            else:
+                blob_dev = _chain_from_clean(packed_clean, w, *edge_params(cfg))
+        # dispatch is in flight; fetch on a side thread so the PNG writes +
+        # palette below overlap the device compute AND the tunnel download
+        return _finish_kmeans(
+            cfg, names, k, w, centers, counts0, lambda ci: masks8[ci],
+            _bg_fetch(lambda: np.asarray(blob_dev).reshape(2 * k, h, w8)), None,
+        )
 
-    _finish_kmeans(cfg, names, k, w, centers, counts0, packed, chain_packed, masks_dev)
+
+def _bg_fetch(fn):
+    """Run ``fn`` on a daemon thread now; return a join-and-reraise callable.
+    Permitted thread use on the 1-core host (CLAUDE.md): the body waits on
+    the device/tunnel, so the overlapped host work genuinely proceeds."""
+    import threading  # noqa: PLC0415
+
+    box: dict = {}
+
+    def work():
+        try:
+            box["v"] = fn()
+        except BaseException as e:  # noqa: BLE001 — re-raised at join
+            box["e"] = e
+
+    t = threading.Thread(target=work, name="pw-chain-fetch", daemon=True)
+    t.start()
+
+    def join():
+        t.join()
+        if "e" in box:
+            raise box["e"]
+        return box["v"]
+
+    return join
 
 
-def _finish_kmeans(cfg, names, k, w, centers, counts0, packed, chain_packed, masks_dev):
+def _finish_kmeans(cfg, names, k, w, centers, counts0, mask_of, chain_fetch, masks_dev):
     """Shared tail of every k-means variant: dark→light relabel, mask PNG
-    writes, chain/device artifact registration, palette JSON.  ``masks_dev``
-    may be None (mesh-DP batch path keeps no per-image device copy — stages
-    03/04 consume the registered chain blob instead)."""
+    writes, chain/device artifact registration, palette JSON.
+
+    ``mask_of(cluster_idx)`` returns the CLEANED dense 0/255 mask for an
+    original cluster id; ``chain_fetch`` (when fused) joins the in-flight
+    edges+skels fetch → (2k, H, ⌈W/8⌉) packed — called AFTER the PNG writes
+    so the host work overlaps the device round trip.  ``masks_dev`` may be
+    None (host-exact paths keep no device copy — stages 03/04 consume the
+    registered chain blob instead)."""
     # relabel dark→light by the L channel (reference 02:120-127)
     order = np.argsort(centers[:, 0])
     counts = [int(c) for c in counts0[order]]
@@ -468,22 +493,21 @@ def _finish_kmeans(cfg, names, k, w, centers, counts0, packed, chain_packed, mas
 
     names_sorted = sorted(names, key=darkness_rank)
 
-    # each layer: unpack its packed row, scale in place, write (threaded —
-    # PNG encode is the stage's host cost at 4K and cv2 releases the GIL)
+    # each layer's PNG write is threaded — the encode is the stage's host
+    # cost at 4K and cv2 releases the GIL
     def write_mask(cluster_idx: int, name: str):
         d = layer_dir(cfg, name)
-        mask = np.unpackbits(packed[int(order[cluster_idx])], axis=-1)[..., :w]
-        mask *= np.uint8(255)
+        mask = mask_of(int(order[cluster_idx]))
         mask_path = os.path.join(d, "mask.png")
         write_image(mask_path, mask)
         return mask_path, int(np.count_nonzero(mask))
 
     written = thread_map(lambda t: write_mask(*t), list(enumerate(names_sorted[:k])))
 
-    if chain_packed is not None:
+    if chain_fetch is not None:
         # hand stage 03/04 their precomputed outputs, permuted from cluster
         # order to cfg.color_names order, keyed to the mask files just written
-        ch = chain_packed  # (2k, H, ceil(W/8)): edges rows, then skeleton rows
+        ch = chain_fetch()  # (2k, H, ceil(W/8)): edges rows, then skeleton rows
         name_to_cluster = {nm: int(order[j]) for j, nm in enumerate(names_sorted[:k])}
         perm = [name_to_cluster[nm] for nm in names]
         mask_paths = [os.path.join(layer_dir(cfg, nm), "mask.png") for nm in names]

@@ -1,5 +1,5 @@
 """Row-sharded pipeline e2e: `shard_rows` routes stage 02-04's fused device
-program through parallel.spatial.sharded_clean_chain over the 8-device CPU
+program through parallel.spatial.sharded_chain over the 8-device CPU
 mesh and must stay byte-identical to the unsharded run through step 13
 (VERDICT r1 item 4 — the wiring test, not just the frontend unit test)."""
 
@@ -113,8 +113,8 @@ def test_outsized_kernel_caps_shards(capsys):
     via the sharded chain bit-compared against the unsharded program."""
     from plotweave.config import PipelineConfig
     from plotweave.parallel import make_mesh
-    from plotweave.parallel.spatial import sharded_clean_chain
-    from plotweave.stages.s02_color_extract import _clean_masks_chain, _resolve_shard_n
+    from plotweave.parallel.spatial import sharded_chain
+    from plotweave.stages.s02_color_extract import _chain_from_clean, _resolve_shard_n
 
     cfg = PipelineConfig(
         shard_rows=8, edge_morph_kernel=21,
@@ -131,24 +131,23 @@ def test_outsized_kernel_caps_shards(capsys):
     packed = np.ascontiguousarray(
         np.stack([np.packbits(labels == i, axis=-1) for i in range(k)])
     )
-    args = (w, 1, 1, 21, 1, 1, 7, 22, 70)  # mk=21: the outsized stencil
+    args = (w, 21, 1, 1, 7, 22, 70)  # mk=21: the outsized stencil
     mesh = make_mesh((n,), ("space",))
-    blob_s, masks_s = sharded_clean_chain(mesh, packed, *args)
-    blob_1, masks_1 = _clean_masks_chain(packed, *args)
+    blob_s = sharded_chain(mesh, packed, *args)
+    blob_1 = _chain_from_clean(packed, *args)
     assert np.array_equal(np.asarray(blob_s), np.asarray(blob_1))
-    assert np.array_equal(np.asarray(masks_s), np.asarray(masks_1))
 
 
 @pytest.mark.parametrize("n_shards", [1, 4, 5])
 def test_sharded_chain_bit_identical(n_shards):
-    """sharded_clean_chain vs the unsharded fused program, bit-compared on
+    """sharded_chain vs the unsharded fused program, bit-compared on
     the raw blob: 1-device degenerate mesh (the real-TPU case), a fitted
     4-way split, and an odd 5-way split."""
     import jax.numpy as jnp
 
     from plotweave.parallel import make_mesh
-    from plotweave.parallel.spatial import sharded_clean_chain
-    from plotweave.stages.s02_color_extract import _clean_masks_chain
+    from plotweave.parallel.spatial import sharded_chain
+    from plotweave.stages.s02_color_extract import _chain_from_clean
 
     rng = np.random.default_rng(n_shards)
     k, h, w = 4, 120, 90  # 120 divides by 1, 4 and 5
@@ -156,12 +155,11 @@ def test_sharded_chain_bit_identical(n_shards):
     packed = jnp.asarray(
         np.stack([np.packbits(labels == i, axis=-1) for i in range(k)])
     )
-    args = (w, 1, 1, 3, 1, 1, 7, 22, 70)
-    blob0, masks0 = _clean_masks_chain(packed, *args)
+    args = (w, 3, 1, 1, 7, 22, 70)
+    blob0 = _chain_from_clean(packed, *args)
     mesh = make_mesh((n_shards,), ("space",))
-    blob1, masks1 = sharded_clean_chain(mesh, packed, *args)
+    blob1 = sharded_chain(mesh, packed, *args)
     assert np.array_equal(np.asarray(blob0), np.asarray(blob1))
-    assert np.array_equal(np.asarray(masks0), np.asarray(masks1))
 
 
 def test_resolve_shard_n_policies():

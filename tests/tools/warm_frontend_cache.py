@@ -40,7 +40,7 @@ def _packed(k: int, h: int, w: int, seed: int = 0) -> np.ndarray:
 def _chain_params(cfg) -> tuple:
     from plotweave.stages.common import edge_params
 
-    return (int(cfg.extract_open_iters), int(cfg.extract_close_iters)) + edge_params(cfg)
+    return edge_params(cfg)  # the mask refine is host-side cv2 since round 5
 
 
 def _cfg(overrides: dict):
@@ -55,10 +55,10 @@ def _cfg(overrides: dict):
 def warm_solo(tag: str, k: int, h: int, w: int, cfg) -> None:
     import jax.numpy as jnp
 
-    from plotweave.stages.s02_color_extract import _clean_masks_chain
+    from plotweave.stages.s02_color_extract import _chain_from_clean
 
     t0 = time.perf_counter()
-    blob, masks = _clean_masks_chain(jnp.asarray(_packed(k, h, w)), w, *_chain_params(cfg))
+    blob = _chain_from_clean(jnp.asarray(_packed(k, h, w)), w, *_chain_params(cfg))
     # host-fetch sync (block_until_ready is unreliable on this backend)
     float(np.asarray(jnp.sum(blob.astype(jnp.int32))))
     print(f"[warm] {tag}: solo chain ({k},{h},{w}) in {time.perf_counter() - t0:.1f}s")
