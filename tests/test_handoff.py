@@ -352,3 +352,27 @@ def test_pending_entries_never_evicted(tmp_path, monkeypatch):
         # global state should outlive the test in a half-written shape)
         pio.save_pickle(pending, str(p_pending))
         pio.flush_pending_saves()
+
+
+def test_bg_fetch_returns_value_and_reraises():
+    """_bg_fetch (stage 02's fetch-overlap helper): the join returns the
+    body's value, and a body that raises surfaces its exception AT THE JOIN
+    (after the overlapped PNG writes) instead of hanging or vanishing on the
+    daemon thread."""
+    import pytest
+
+    from plotweave.stages.s02_color_extract import _bg_fetch
+
+    join = _bg_fetch(lambda: np.arange(4))
+    np.testing.assert_array_equal(join(), np.arange(4))
+
+    class Boom(RuntimeError):
+        pass
+
+    def failing():
+        time.sleep(0.05)  # join must WAIT for the body, not race it
+        raise Boom("tunnel died mid-fetch")
+
+    join = _bg_fetch(failing)
+    with pytest.raises(Boom, match="tunnel died mid-fetch"):
+        join()

@@ -134,6 +134,16 @@ def main() -> None:
         print(f"reference: {dt:.1f} s")
         return
 
+    # initialize the backend OUTSIDE the timed runs (a trivial op + host
+    # fetch, bench.py's health-probe pattern): the axon init cost is
+    # environmental and flaps 19 s → 11 min (measured round 5) — folding it
+    # into run 1 says nothing about the pipeline
+    t0 = time.perf_counter()
+    import jax.numpy as jnp
+
+    assert float(np.asarray(jnp.sum(jnp.arange(8.0)))) == 28.0
+    print(f"[cfg3] backend init + probe: {time.perf_counter() - t0:.1f}s (untimed)")
+
     times = [run_mine(img, base, f"run{i}") for i in range(args.runs)]
     # best-of-N: the host's fresh-page cost is episodic AND the process heap
     # only reaches its reusable plateau after ~2 runs (VmData stops growing,
