@@ -164,7 +164,7 @@ def run_pipeline(
 
         in_flight = sys.exc_info()[0] is not None
         try:
-            flush_pending_saves()
+            flush_pending_saves(cfg.output_dir)
         except Exception:
             if not in_flight:
                 raise

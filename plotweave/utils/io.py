@@ -289,7 +289,8 @@ class _AsyncPickleWriter:
                 if not superseded:
                     _save_pickle_sync(obj, path, fsync=True)
             except BaseException as e:  # noqa: BLE001 — re-raised at flush
-                self._errors.append((path, e))
+                with self._lock:
+                    self._errors.append((path, e))
             finally:
                 self._q.task_done()
 
@@ -297,15 +298,32 @@ class _AsyncPickleWriter:
         self._ensure_thread()
         self._q.put((obj, path))
 
-    def flush(self) -> None:
+    def flush(self, scope: str | None = None) -> None:
         """Block until every queued dump is durably on disk; re-raise the
-        first writer error (a silent lost artifact would corrupt resume)."""
+        first writer error (a silent lost artifact would corrupt resume).
+
+        ``scope``: only errors for paths under this directory are raised here
+        — the batch runner's per-image pipelines share one writer, and image
+        A's dump failure must fail image A's run_pipeline, not whichever
+        image happened to flush next (errors outside the scope stay queued
+        for their own pipeline's flush)."""
         if self._thread is None:
             return
         self._q.join()
-        if self._errors:
-            path, e = self._errors.pop(0)
-            self._errors.clear()
+        if not self._errors:
+            return
+        with self._lock:
+            if scope is None:
+                mine = list(self._errors)
+                self._errors.clear()
+            else:
+                pref = os.path.join(os.path.abspath(scope), "")
+                mine = [t for t in self._errors
+                        if os.path.abspath(t[0]).startswith(pref)]
+                for t in mine:
+                    self._errors.remove(t)
+        if mine:
+            path, e = mine[0]
             raise RuntimeError(f"write-behind save of {path} failed: {e}") from e
 
 
@@ -342,10 +360,13 @@ def save_pickle_async(obj: Any, path: str) -> None:
     _ASYNC_WRITER.submit(obj, path)
 
 
-def flush_pending_saves() -> None:
+def flush_pending_saves(scope: str | None = None) -> None:
     """Barrier: every save_pickle_async dump is on disk (fsynced) or an
-    error is raised.  run_pipeline calls this before returning."""
-    _ASYNC_WRITER.flush()
+    error is raised.  run_pipeline calls this before returning, scoped to
+    its own output_dir so concurrent batch pipelines get their OWN dump
+    failures (a global raise would misattribute image A's disk error to
+    whichever image flushed next)."""
+    _ASYNC_WRITER.flush(scope)
 
 
 def register_device_artifact(path: str, arr) -> None:

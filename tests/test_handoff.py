@@ -376,3 +376,34 @@ def test_bg_fetch_returns_value_and_reraises():
     join = _bg_fetch(failing)
     with pytest.raises(Boom, match="tunnel died mid-fetch"):
         join()
+
+
+def test_flush_pending_saves_scoped_error_attribution(tmp_path):
+    """Batch pipelines share one write-behind writer: image A's dump failure
+    must surface in A's scoped flush, not in whichever image flushes next."""
+    import pytest
+
+    from plotweave.utils.io import flush_pending_saves, load_pickle, save_pickle_async
+
+    a = tmp_path / "imgA"
+    b = tmp_path / "imgB"
+    a.mkdir()
+    b.mkdir()
+
+    class Unpicklable:
+        def __reduce__(self):
+            raise RuntimeError("disk exploded")
+
+    save_pickle_async(Unpicklable(), str(a / "contours.pkl"))
+    save_pickle_async([1, 2, 3], str(b / "contours.pkl"))
+
+    # B's scoped flush: its own dump is durable, A's error is NOT raised here
+    flush_pending_saves(str(b))
+    assert load_pickle(str(b / "contours.pkl")) == [1, 2, 3]
+
+    # A's scoped flush gets A's error
+    with pytest.raises(RuntimeError, match="write-behind save .*imgA"):
+        flush_pending_saves(str(a))
+
+    # and the error was consumed — a later global flush is clean
+    flush_pending_saves()
