@@ -1363,12 +1363,36 @@ static inline float pw_l2sqr(const float* a, const float* b, int dims) {
     return d;
 }
 
+// dims==3 (the Lab production case) re-distance pass of the kmeans++
+// seeding — the measured majority of pw_cv_kmeans (the generic loop's
+// runtime trip count blocks vectorization).  Operates on the de-strided
+// component planes (x0/x1/x2, built once per seeding) so the loop
+// vectorizes on contiguous streams; the per-sample op sequence is the
+// scalar path's ((0+t0²)+t1²)+t2² then min, so each lane is bit-identical,
+// and the caller's sum pass keeps its sequential double accumulation order.
+static void pw_pp_min_dist3(const float* __restrict x0,
+                            const float* __restrict x1,
+                            const float* __restrict x2, int64_t N,
+                            float c0, float c1, float c2,
+                            const float* __restrict dist,
+                            float* __restrict out) {
+    for (int64_t i = 0; i < N; i++) {
+        float t0 = x0[i] - c0, t1 = x1[i] - c1, t2 = x2[i] - c2;
+        float d = t0 * t0;
+        d += t1 * t1;
+        d += t2 * t2;
+        out[i] = d < dist[i] ? d : dist[i];
+    }
+}
+
 // returns 0 on success, -1 when no trial produced a finite cost (all-NaN
 // data would otherwise leave best_center == -1 and read out of bounds;
 // OpenCV raises CV_Error here, the Python fallback raises RuntimeError)
 static int pw_centers_pp(const float* data, int64_t N, int dims, int K,
                          uint64_t* rng, float* out_centers,
-                         float* dist, float* tdist, float* tdist2) {
+                         float* dist, float* tdist, float* tdist2,
+                         const float* planes /* de-strided x0|x1|x2 when
+                                                dims==3, else null */) {
     const int trials = 3;
     std::vector<int64_t> centers((size_t)K);
     centers[0] = (int64_t)(pw_rng_next(rng) % (uint32_t)N);
@@ -1390,9 +1414,14 @@ static int pw_centers_pp(const float* data, int64_t N, int dims, int K,
                 if (p <= 0) break;
             }
             const float* c = data + ci * dims;
-            for (int64_t i = 0; i < N; i++) {
-                float d = pw_l2sqr(data + i * dims, c, dims);
-                tdist2[i] = d < dist[i] ? d : dist[i];
+            if (planes != nullptr) {
+                pw_pp_min_dist3(planes, planes + N, planes + 2 * N, N,
+                                c[0], c[1], c[2], dist, tdist2);
+            } else {
+                for (int64_t i = 0; i < N; i++) {
+                    float d = pw_l2sqr(data + i * dims, c, dims);
+                    tdist2[i] = d < dist[i] ? d : dist[i];
+                }
             }
             double s = 0.0;
             for (int64_t i = 0; i < N; i++) s += tdist2[i];
@@ -1433,6 +1462,18 @@ extern "C" double pw_cv_kmeans(const float* data, int64_t N, int dims, int K,
     std::vector<int32_t> labels((size_t)N, 0);
     std::vector<double> dists((size_t)N);
     std::vector<float> ppd((size_t)N * 3);
+    // de-strided component planes for the dims==3 seeding fast path (built
+    // once, reused across attempts); values only — layout does not affect
+    // any float op order
+    std::vector<float> planes;
+    if (dims == 3) {
+        planes.resize((size_t)N * 3);
+        for (int64_t i = 0; i < N; i++) {
+            planes[i] = data[i * 3];
+            planes[N + i] = data[i * 3 + 1];
+            planes[2 * N + i] = data[i * 3 + 2];
+        }
+    }
     float* centers = centers_buf.data();
     float* old_centers = old_centers_buf.data();
 
@@ -1446,7 +1487,8 @@ extern "C" double pw_cv_kmeans(const float* data, int64_t N, int dims, int K,
             if (iter == 0) {
                 if (pw_centers_pp(data, N, dims, K, &rng, centers,
                                   ppd.data(), ppd.data() + N,
-                                  ppd.data() + 2 * N) != 0)
+                                  ppd.data() + 2 * N,
+                                  dims == 3 ? planes.data() : nullptr) != 0)
                     return (double)NAN;  // caller raises (cv_kmeans_native)
             } else {
                 // accumulate in sample order (float32)

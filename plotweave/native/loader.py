@@ -39,9 +39,20 @@ def _build() -> bool:
             return True
         # -ffp-contract=off: the encoder/greedy float math must match numpy
         # bit-for-bit; FMA contraction (default at -O3 on FMA-baseline
-        # targets) would change last-ulp results and flip near-tie selections
-        cmd = ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC", "-o", _LIB + ".tmp", _SRC]
-        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        # targets) would change last-ulp results and flip near-tie selections.
+        # -march=native widens the auto-vectorized elementwise loops (the
+        # library always builds on the machine that runs it); it cannot
+        # change float results: contraction stays off, and GCC never
+        # vectorizes FP reductions without -fassociative-math, so sequential
+        # accumulation orders are preserved.  Falls back to the baseline ISA
+        # if the compiler rejects the flag.
+        cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+               "-fPIC", "-o", _LIB + ".tmp", _SRC]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        except subprocess.CalledProcessError:
+            cmd.remove("-march=native")
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.replace(_LIB + ".tmp", _LIB)
         return True
     except (OSError, subprocess.SubprocessError) as e:
